@@ -1,0 +1,374 @@
+"""The Bulletproofs inner-product argument (IPP).
+
+Re-implements the capability of reference src/inner_product_proof.rs: a
+log-round argument that ``P = <a, G> + <b o y^-n, H> + <a, b> Q`` with
+O(log n) proof size.  Protocol structure (create: :49-193; verify:
+:317-372; verification_scalars: :254-310; codec: :379-455):
+
+* per round, cross inner products ``c_L = <a_L, b_R>``, ``c_R = <a_R, b_L>``
+  and two (n+1)-term MSMs produce L, R; the transcript absorbs them and
+  yields challenge ``u``; witness and generators fold in half
+  (``a' = u a_L + u^-1 a_R`` etc., eq. (4) of the Bulletproofs paper);
+* the first round folds the ``G_factors``/``H_factors`` scalings into the
+  MSM scalars instead of scaling the generators up front;
+* the proof is ``(L_1..L_k, R_1..R_k, a, b)``.
+
+TPU mapping: vectors live on device as limb tensors; per-round folds are
+fused vector kernels and batched Shamir double-and-adds
+(:mod:`..ops.fold`); L/R are device Pippenger MSMs (:mod:`..ops.msm`).
+Only the two 32-byte round outputs L, R cross to the host, where the
+(inherently sequential) keccak transcript produces the next challenge —
+log(n) tiny transfers per proof, everything else stays in HBM.  On
+non-TPU backends the same protocol runs against the exact host algebra
+(:mod:`..ops.backend`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..constants import SCALAR_BYTES, STARK_POINT_BYTES
+from ..ops import backend
+from ..ops.curve import StarkPoint
+from ..ops.field import Scalar, inner_product
+from ..transcript import HashChainTranscript
+from ..utils.errors import FormatError, VerificationError
+
+
+@dataclass
+class InnerProductProof:
+    L_vec: list[StarkPoint]
+    R_vec: list[StarkPoint]
+    a: Scalar
+    b: Scalar
+
+    # ------------------------------------------------------------------
+    # creation
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def create(
+        transcript: HashChainTranscript,
+        Q: StarkPoint,
+        G_factors: list[Scalar],
+        H_factors: list[Scalar],
+        G_vec: list[StarkPoint],
+        H_vec: list[StarkPoint],
+        a_vec: list[Scalar],
+        b_vec: list[Scalar],
+    ) -> "InnerProductProof":
+        n = len(G_vec)
+        if not all(len(v) == n for v in (H_vec, a_vec, b_vec, G_factors, H_factors)):
+            raise ValueError("IPP input vectors must share one length")
+        if n & (n - 1):
+            raise ValueError("IPP length must be a power of two")
+
+        transcript.innerproduct_domain_sep(n)
+
+        if backend.use_device() and n >= 32:
+            return _create_device(
+                transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec
+            )
+        return _create_host(
+            transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec
+        )
+
+    # ------------------------------------------------------------------
+    # verification
+    # ------------------------------------------------------------------
+
+    def verification_scalars(
+        self, n: int, transcript: HashChainTranscript
+    ) -> tuple[list[Scalar], list[Scalar], list[Scalar]]:
+        """Recompute challenges and the s-vector (reference :254-310).
+
+        Returns ``(u_sq, u_inv_sq, s)`` for the parent protocol's single
+        mega-MSM.
+        """
+        lg_n = len(self.L_vec)
+        if lg_n >= 32:
+            raise VerificationError("proof too large")
+        if n != (1 << lg_n):
+            raise VerificationError("length mismatch with proof")
+
+        transcript.innerproduct_domain_sep(n)
+
+        challenges = []
+        for L, R in zip(self.L_vec, self.R_vec):
+            transcript.validate_and_append_point(b"L", L)
+            transcript.validate_and_append_point(b"R", R)
+            challenges.append(transcript.challenge_scalar(b"u"))
+
+        challenges_inv = Scalar.batch_inverse(challenges)
+        allinv = Scalar(1)
+        for ci in challenges_inv:
+            allinv = allinv * ci
+
+        u_sq = [u * u for u in challenges]
+        u_inv_sq = [u * u for u in challenges_inv]
+
+        # s-vector built inductively: s_0 = prod(u_i^-1); s_i = s_{i-k} * u_{lg i + 1}^2
+        s = [allinv]
+        for i in range(1, n):
+            lg_i = i.bit_length() - 1
+            k = 1 << lg_i
+            u_lg_i_sq = u_sq[(lg_n - 1) - lg_i]
+            s.append(s[i - k] * u_lg_i_sq)
+
+        return u_sq, u_inv_sq, s
+
+    def verify(
+        self,
+        n: int,
+        transcript: HashChainTranscript,
+        G_factors: list[Scalar],
+        H_factors: list[Scalar],
+        P: StarkPoint,
+        Q: StarkPoint,
+        G: list[StarkPoint],
+        H: list[StarkPoint],
+    ) -> None:
+        """Standalone verification by a single MSM (reference :317-372).
+
+        Raises :class:`VerificationError` on failure.
+        """
+        u_sq, u_inv_sq, s = self.verification_scalars(n, transcript)
+
+        g_times_a_times_s = [(self.a * s_i) * g_i for g_i, s_i in zip(G_factors, s)]
+        inv_s = list(reversed(s))
+        h_times_b_div_s = [(self.b * s_inv) * h_i for h_i, s_inv in zip(H_factors, inv_s)]
+        neg_u_sq = [-u for u in u_sq]
+        neg_u_inv_sq = [-u for u in u_inv_sq]
+
+        scalars = (
+            [self.a * self.b]
+            + g_times_a_times_s
+            + h_times_b_div_s
+            + neg_u_sq
+            + neg_u_inv_sq
+        )
+        points = [Q] + G + H + self.L_vec + self.R_vec
+        expect_P = _msm(scalars, points)
+        if expect_P != P:
+            raise VerificationError("inner product proof failed")
+
+    # ------------------------------------------------------------------
+    # serialization (reference :379-455)
+    # ------------------------------------------------------------------
+
+    def serialized_size(self) -> int:
+        return len(self.L_vec) * 2 * STARK_POINT_BYTES + 2 * SCALAR_BYTES
+
+    def to_bytes(self) -> bytes:
+        buf = bytearray()
+        for l_pt, r_pt in zip(self.L_vec, self.R_vec):
+            buf += l_pt.to_bytes()
+            buf += r_pt.to_bytes()
+        buf += self.a.to_bytes_be()
+        buf += self.b.to_bytes_be()
+        return bytes(buf)
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "InnerProductProof":
+        b = len(data)
+        if b < 2 * SCALAR_BYTES or b % 32 != 0:
+            raise FormatError("bad IPP length")
+        num_points = (b - 2 * SCALAR_BYTES) // STARK_POINT_BYTES
+        if num_points % 2 != 0:
+            raise FormatError("bad IPP point count")
+        lg_n = num_points // 2
+        if lg_n >= 32:
+            raise FormatError("IPP too large")
+        L_vec, R_vec = [], []
+        for i in range(lg_n):
+            pos = 2 * i * STARK_POINT_BYTES
+            try:
+                L_vec.append(StarkPoint.from_bytes(data[pos : pos + 32]))
+                R_vec.append(StarkPoint.from_bytes(data[pos + 32 : pos + 64]))
+            except ValueError as exc:
+                raise FormatError(str(exc)) from exc
+        pos = 2 * lg_n * STARK_POINT_BYTES
+        a = Scalar.from_be_bytes_mod_order(data[pos : pos + SCALAR_BYTES])
+        b_sc = Scalar.from_be_bytes_mod_order(data[pos + SCALAR_BYTES :])
+        return InnerProductProof(L_vec, R_vec, a, b_sc)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, InnerProductProof)
+            and self.L_vec == other.L_vec
+            and self.R_vec == other.R_vec
+            and self.a == other.a
+            and self.b == other.b
+        )
+
+
+def _msm(scalars, points) -> StarkPoint:
+    if backend.use_device() and len(scalars) >= 32:
+        from ..ops import msm as msm_mod
+
+        return msm_mod.msm_host_points(scalars, points)
+    return StarkPoint.msm(scalars, points)
+
+
+# ---------------------------------------------------------------------------
+# host prover
+# ---------------------------------------------------------------------------
+
+def _create_host(transcript, Q, G_factors, H_factors, G, H, a, b):
+    n = len(G)
+    L_vec: list[StarkPoint] = []
+    R_vec: list[StarkPoint] = []
+
+    first = True
+    while n > 1:
+        n //= 2
+        a_L, a_R = a[:n], a[n:]
+        b_L, b_R = b[:n], b[n:]
+        G_L, G_R = G[:n], G[n:]
+        H_L, H_R = H[:n], H[n:]
+
+        c_L = inner_product(a_L, b_R)
+        c_R = inner_product(a_R, b_L)
+
+        if first:
+            # Fold the G/H factors into the MSM scalars (reference :80-147).
+            L = _msm(
+                [x * g for x, g in zip(a_L, G_factors[n : 2 * n])]
+                + [x * h for x, h in zip(b_R, H_factors[:n])]
+                + [c_L],
+                G_R + H_L + [Q],
+            )
+            R = _msm(
+                [x * g for x, g in zip(a_R, G_factors[:n])]
+                + [x * h for x, h in zip(b_L, H_factors[n : 2 * n])]
+                + [c_R],
+                G_L + H_R + [Q],
+            )
+        else:
+            L = _msm(a_L + b_R + [c_L], G_R + H_L + [Q])
+            R = _msm(a_R + b_L + [c_R], G_L + H_R + [Q])
+
+        L_vec.append(L)
+        R_vec.append(R)
+        transcript.append_point(b"L", L)
+        transcript.append_point(b"R", R)
+        u = transcript.challenge_scalar(b"u")
+        u_inv = u.inverse()
+
+        a = [al * u + u_inv * ar for al, ar in zip(a_L, a_R)]
+        b = [bl * u_inv + u * br for bl, br in zip(b_L, b_R)]
+        if first:
+            G = [
+                StarkPoint.msm(
+                    [u_inv * gl_f, u * gr_f],
+                    [G_L[i], G_R[i]],
+                )
+                for i, (gl_f, gr_f) in enumerate(
+                    zip(G_factors[:n], G_factors[n : 2 * n])
+                )
+            ]
+            H = [
+                StarkPoint.msm(
+                    [u * hl_f, u_inv * hr_f],
+                    [H_L[i], H_R[i]],
+                )
+                for i, (hl_f, hr_f) in enumerate(
+                    zip(H_factors[:n], H_factors[n : 2 * n])
+                )
+            ]
+            first = False
+        else:
+            G = [StarkPoint.msm([u_inv, u], [gl, gr]) for gl, gr in zip(G_L, G_R)]
+            H = [StarkPoint.msm([u, u_inv], [hl, hr]) for hl, hr in zip(H_L, H_R)]
+
+    return InnerProductProof(L_vec, R_vec, a[0], b[0])
+
+
+# ---------------------------------------------------------------------------
+# device prover
+# ---------------------------------------------------------------------------
+
+def _create_device(transcript, Q, G_factors, H_factors, G, H, a, b):
+    import jax.numpy as jnp
+
+    from ..ops import curve_jax as cj
+    from ..ops import fold as fold_mod
+    from ..ops import limb
+    from ..ops import msm as msm_mod
+
+    n = len(G)
+    a_d = jnp.asarray(cj.scalars_from_host(a))
+    b_d = jnp.asarray(cj.scalars_from_host(b))
+    G_d = jnp.asarray(cj.points_from_host(G))
+    H_d = jnp.asarray(cj.points_from_host(H))
+    gf_d = jnp.asarray(cj.scalars_from_host(G_factors))
+    hf_d = jnp.asarray(cj.scalars_from_host(H_factors))
+    Q_d = jnp.asarray(cj.points_from_host([Q]))
+
+    L_vec: list[StarkPoint] = []
+    R_vec: list[StarkPoint] = []
+
+    first = True
+    while n > 1:
+        n //= 2
+        a_L, a_R = a_d[:, :n], a_d[:, n:]
+        b_L, b_R = b_d[:, :n], b_d[:, n:]
+        G_L, G_R = G_d[..., :n], G_d[..., n:]
+        H_L, H_R = H_d[..., :n], H_d[..., n:]
+
+        c_L = limb.inner_product_mod(a_L, b_R, limb.FR)[:, None]
+        c_R = limb.inner_product_mod(a_R, b_L, limb.FR)[:, None]
+
+        if first:
+            sL = limb.mod_mul(a_L, gf_d[:, n : 2 * n], limb.FR)
+            sLh = limb.mod_mul(b_R, hf_d[:, :n], limb.FR)
+            sR = limb.mod_mul(a_R, gf_d[:, :n], limb.FR)
+            sRh = limb.mod_mul(b_L, hf_d[:, n : 2 * n], limb.FR)
+        else:
+            sL, sLh, sR, sRh = a_L, b_R, a_R, b_L
+
+        L_d = msm_mod.msm_device(
+            jnp.concatenate([sL, sLh, c_L], axis=-1),
+            jnp.concatenate([G_R, H_L, Q_d], axis=-1),
+        )
+        R_d = msm_mod.msm_device(
+            jnp.concatenate([sR, sRh, c_R], axis=-1),
+            jnp.concatenate([G_L, H_R, Q_d], axis=-1),
+        )
+
+        # Only L and R cross to the host for the Fiat-Shamir transcript.
+        L_pt, R_pt = cj.points_to_host(
+            jnp.stack([L_d, R_d], axis=-1)
+        )
+        L_vec.append(L_pt)
+        R_vec.append(R_pt)
+        transcript.append_point(b"L", L_pt)
+        transcript.append_point(b"R", R_pt)
+        u = transcript.challenge_scalar(b"u")
+        u_inv = u.inverse()
+
+        u_d = jnp.asarray(limb.int_to_limbs_np(u.value))
+        u_inv_d = jnp.asarray(limb.int_to_limbs_np(u_inv.value))
+
+        a_d = fold_mod.fold_scalars(u_d, u_inv_d, a_L, a_R)
+        b_d = fold_mod.fold_scalars(u_inv_d, u_d, b_L, b_R)
+
+        if first:
+            gl_s = limb.mod_mul(gf_d[:, :n], u_inv_d, limb.FR)
+            gr_s = limb.mod_mul(gf_d[:, n : 2 * n], u_d, limb.FR)
+            hl_s = limb.mod_mul(hf_d[:, :n], u_d, limb.FR)
+            hr_s = limb.mod_mul(hf_d[:, n : 2 * n], u_inv_d, limb.FR)
+            G_d = fold_mod.fold_points(
+                fold_mod.scalar_bits(gl_s), fold_mod.scalar_bits(gr_s), G_L, G_R
+            )
+            H_d = fold_mod.fold_points(
+                fold_mod.scalar_bits(hl_s), fold_mod.scalar_bits(hr_s), H_L, H_R
+            )
+            first = False
+        else:
+            G_d = fold_mod.fold_points_shared(u_inv_d, u_d, G_L, G_R)
+            H_d = fold_mod.fold_points_shared(u_d, u_inv_d, H_L, H_R)
+
+    a_fin = cj.scalars_to_host(a_d)[0]
+    b_fin = cj.scalars_to_host(b_d)[0]
+    return InnerProductProof(L_vec, R_vec, a_fin, b_fin)

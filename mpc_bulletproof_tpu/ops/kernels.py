@@ -1,0 +1,180 @@
+"""Pallas TPU kernels for the hot point/field vector operations.
+
+Every kernel wraps the straight-line limb math from :mod:`.limb` /
+:mod:`.curve_jax` into a single fused Mosaic kernel.  This matters twice:
+
+* **graph size** — a complete point addition is ~12 modular multiplies of
+  ~500 vector ops each; inlined into XLA that is ~50k HLO instructions *per
+  call site*, which makes MSM-sized graphs uncompilable.  As a
+  ``pallas_call`` each site is one custom-call and Mosaic compiles the body
+  once per block shape (~1 s on a v5e).
+* **locality** — the whole add runs out of VMEM registers; XLA would
+  materialize dozens of (3, 20, n) intermediates in HBM.
+
+Blocks are ``(3, NL, T)`` / ``(NL, T)`` tiles with the batch on the lane
+dimension (see :mod:`.limb` for the layout rationale).  On CPU backends the
+kernels run through the Pallas interpreter, so the exact same code path is
+exercised by the test suite's virtual 8-device CPU mesh.
+
+Modulus constants are passed as kernel operands (Mosaic forbids captured
+array constants).
+"""
+
+from __future__ import annotations
+
+import functools
+import types
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import curve_jax, limb
+from .limb import FP, FR, NL, ModParams
+
+# Lane tile: full vector-register width.
+_TILE = 256
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_lanes(x: jnp.ndarray, mult: int) -> tuple[jnp.ndarray, int]:
+    """Pad the lane (last) dim to a multiple of ``mult`` (or to a power of two
+    below it) so the set of distinct kernel block shapes stays small."""
+    n = x.shape[-1]
+    if n >= mult:
+        padded = (n + mult - 1) // mult * mult
+    else:
+        padded = 8
+        while padded < n:
+            padded *= 2
+    if padded != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, padded - n)]
+        x = jnp.pad(x, pad)
+    return x, n
+
+
+def _mp_operands(mp: ModParams):
+    return (jnp.asarray(mp.m), jnp.asarray(mp.m21), jnp.asarray(mp.mu))
+
+
+def _mp_specs():
+    cs = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return [cs((NL, 1)), cs((NL + 1, 1)), cs((NL + 1, 1))]
+
+
+def _kernel_mp(m_ref, m21_ref, mu_ref, modulus: int) -> ModParams:
+    ns = types.SimpleNamespace(
+        m=m_ref[...], m21=m21_ref[...], mu=mu_ref[...], modulus=modulus
+    )
+    return ns  # duck-typed ModParams for the _impl functions
+
+
+# ---------------------------------------------------------------------------
+# point kernels
+# ---------------------------------------------------------------------------
+
+_B3_LIMBS = limb.int_to_limbs_np(curve_jax._B3, NL)
+
+
+def _curve_operands():
+    return (*_mp_operands(FP), jnp.asarray(_B3_LIMBS))
+
+
+def _curve_specs():
+    cs = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return _mp_specs() + [cs((NL, 1))]
+
+
+def _kernel_curve_ctx(m_ref, m21_ref, mu_ref, b3_ref):
+    return types.SimpleNamespace(
+        mp=_kernel_mp(m_ref, m21_ref, mu_ref, 0), b3=b3_ref[...]
+    )
+
+
+def _padd_kernel(m_ref, m21_ref, mu_ref, b3_ref, a_ref, b_ref, o_ref):
+    ctx = _kernel_curve_ctx(m_ref, m21_ref, mu_ref, b3_ref)
+    o_ref[...] = curve_jax._point_add(a_ref[...], b_ref[...], ctx)
+
+
+@jax.jit
+def point_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Complete point addition over ``(3, NL, n)`` batches (RCB16)."""
+    a, n = _pad_lanes(a, _TILE)
+    b, _ = _pad_lanes(b, _TILE)
+    t = min(_TILE, a.shape[-1])
+    pts_spec = pl.BlockSpec((3, NL, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _padd_kernel,
+        out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
+        grid=(a.shape[-1] // t,),
+        in_specs=_curve_specs() + [pts_spec, pts_spec],
+        out_specs=pts_spec,
+        interpret=_interpret(),
+    )(*_curve_operands(), a, b)
+    return out[..., :n]
+
+
+def point_double(a: jnp.ndarray) -> jnp.ndarray:
+    return point_add(a, a)
+
+
+# ---------------------------------------------------------------------------
+# scalar-field vector kernels
+# ---------------------------------------------------------------------------
+
+def _make_vec2_kernel(op):
+    def kernel(m_ref, m21_ref, mu_ref, a_ref, b_ref, o_ref):
+        mp = _kernel_mp(m_ref, m21_ref, mu_ref, 0)
+        o_ref[...] = op(a_ref[...], b_ref[...], mp)
+
+    return kernel
+
+
+_VEC2_KERNELS = {
+    "mul": _make_vec2_kernel(limb._mod_mul),
+    "add": _make_vec2_kernel(limb._mod_add),
+    "sub": _make_vec2_kernel(limb._mod_sub),
+}
+
+
+def _vec2(opname: str, a: jnp.ndarray, b: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
+    """Elementwise binary modular op over ``(NL, n)`` with broadcasting of b."""
+    if b.ndim == a.ndim and b.shape[-1] == 1 and a.shape[-1] != 1:
+        b = jnp.broadcast_to(b, a.shape)
+    a, n = _pad_lanes(a, _TILE)
+    b, _ = _pad_lanes(b, _TILE)
+    t = min(_TILE, a.shape[-1])
+    spec = pl.BlockSpec((NL, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _VEC2_KERNELS[opname],
+        out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
+        grid=(a.shape[-1] // t,),
+        in_specs=_mp_specs() + [spec, spec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(*_mp_operands(mp), a, b)
+    return out[..., :n]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def vec_mul(a, b, mp: ModParams = FR):
+    return _vec2("mul", a, b, mp)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def vec_add(a, b, mp: ModParams = FR):
+    return _vec2("add", a, b, mp)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def vec_sub(a, b, mp: ModParams = FR):
+    return _vec2("sub", a, b, mp)
+
+
+def point_neg(p: jnp.ndarray) -> jnp.ndarray:
+    """Point negation (cheap: one field negation; stays in plain XLA)."""
+    return curve_jax._point_neg(p)

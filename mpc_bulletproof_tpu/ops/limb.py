@@ -1,0 +1,425 @@
+"""TPU limb arithmetic for 251-bit prime fields.
+
+This is the device-side foundation replacing the reference's CPU bignum stack
+(``mpc-stark`` algebra / ark-ff — SURVEY.md §2.4): batched modular add / sub /
+mul / inner products over the STARK base field ``P`` and scalar field ``R``.
+
+Representation
+--------------
+A batch of field elements is ``NL = 20`` limbs of ``BASE_BITS = 13`` bits in
+an ``int32`` tensor laid out **limb-major**: shape ``(NL, n)`` with the batch
+on the *last* (lane) dimension.  The choices are dictated by TPU hardware:
+
+* batch-last means every limb operation is a full-width VPU op across 128
+  lanes — a ``(n, NL)`` layout would waste 6/7 of each vector register;
+* products of two 13-bit limbs are < 2^26, so a full 20-term convolution
+  column sums to < 20 * 2^26 < 2^31 and **never overflows int32** — no
+  per-product carry handling, everything is straight-line vector arithmetic;
+* 13-bit limbs are also the native Pippenger window for the MSM kernels
+  (:mod:`.msm`): a scalar's limbs *are* its bucket digits.
+
+Carry propagation is **branchless Kogge-Stone carry-lookahead**: one or two
+shift-add sweeps reduce limb magnitudes until carries are in {-1,0,1}, then a
+log2(L)-step generate/propagate prefix resolves the exact carries.  This
+keeps the op count per modular multiply small, which matters both for VPU
+throughput and for XLA graph size (the point formulas instantiate many
+multiplies).
+
+Reduction is word-aligned Barrett (HAC 14.42): for modulus ``m`` with
+``beta^(NL-1) <= m < beta^NL`` precompute ``mu = floor(beta^(2*NL) / m)``;
+then for ``c < beta^(2*NL)``::
+
+    q  = floor( floor(c / beta^(NL-1)) * mu / beta^(NL+1) )
+    r  = (c - q*m) mod beta^(NL+1)      # then at most 2 corrective subtractions
+
+The same code path serves both fields; per-modulus constants live in
+:class:`ModParams` (``FP`` base field, ``FR`` scalar field).  All limb loops
+are unrolled over static limb counts — no data-dependent control flow — and
+the plain ``_impl`` bodies run unchanged inside Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import P, R
+
+BASE_BITS = 13
+BASE = 1 << BASE_BITS
+MASK = BASE - 1
+NL = 20  # limbs per field element: 20 * 13 = 260 bits >= 252
+WIDE = 2 * NL  # limbs in an unreduced product
+
+
+# ---------------------------------------------------------------------------
+# host <-> limb conversion (numpy, exact).  Limb-major: (limbs, batch).
+# ---------------------------------------------------------------------------
+
+def int_to_limbs_np(x: int, n: int = NL) -> np.ndarray:
+    """Single int -> (n, 1) limb column."""
+    out = np.zeros((n, 1), dtype=np.int32)
+    for i in range(n):
+        out[i, 0] = x & MASK
+        x >>= BASE_BITS
+    if x:
+        raise ValueError("value does not fit in limb count")
+    return out
+
+
+def ints_to_limbs(values: Sequence[int], n: int = NL) -> np.ndarray:
+    """Pack python ints into an ``(n, len)`` int32 limb array."""
+    out = np.zeros((n, len(values)), dtype=np.int32)
+    for j, v in enumerate(values):
+        for i in range(n):
+            out[i, j] = v & MASK
+            v >>= BASE_BITS
+    return out
+
+
+def limbs_to_ints(arr) -> list[int]:
+    """Unpack an ``(n, ...)`` limb array into python ints (flattened batch)."""
+    a = np.asarray(arr)
+    flat = a.reshape(a.shape[0], -1).astype(object)
+    weights = np.array([1 << (BASE_BITS * i) for i in range(a.shape[0])], dtype=object)
+    return list(weights @ flat)
+
+
+class ModParams:
+    """Static per-modulus constants (host numpy; closed over by jitted fns)."""
+
+    def __init__(self, modulus: int):
+        self.modulus = modulus
+        self.m = int_to_limbs_np(modulus, NL)  # (NL, 1)
+        self.m21 = int_to_limbs_np(modulus, NL + 1)
+        self.mu = int_to_limbs_np((1 << (BASE_BITS * 2 * NL)) // modulus, NL + 1)
+
+    def __repr__(self):
+        return f"ModParams(0x{self.modulus:x})"
+
+    # Hashable on the modulus so instances can be jit static arguments.
+    def __hash__(self):
+        return hash(self.modulus)
+
+    def __eq__(self, other):
+        return isinstance(other, ModParams) and self.modulus == other.modulus
+
+
+FP = ModParams(P)
+FR = ModParams(R)
+
+
+# ---------------------------------------------------------------------------
+# carry propagation (branchless, log-depth)
+# ---------------------------------------------------------------------------
+
+def _shift_down(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Move limb i to position i+d (multiply by beta^d), zero-filling."""
+    if d == 0:
+        return x
+    pad = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)[: x.shape[0]]
+
+
+def _sweep(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """One shift-add carry sweep; output has ``out_len`` limbs."""
+    if x.shape[0] < out_len:
+        x = jnp.pad(x, [(0, out_len - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+    elif x.shape[0] > out_len:
+        x = x[:out_len]
+    r = x & MASK
+    c = x >> BASE_BITS
+    return r + _shift_down(c, 1)
+
+
+def _shift_down_fill(x: jnp.ndarray, d: int, fill: int) -> jnp.ndarray:
+    if d == 0:
+        return x
+    pad = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)[: x.shape[0]]
+
+
+def _ks_resolve(y: jnp.ndarray) -> jnp.ndarray:
+    """Exact carry resolution for limbs with carries/borrows in {-1, 0, 1}.
+
+    Each limb's carry transfer function ``f(c_in) = (y + c_in) >> 13`` is a
+    monotone map {-1,0,1} -> {-1,0,1} represented by the triple
+    ``(f(-1), f(0), f(1))``; a Kogge-Stone prefix composes the maps in
+    log2(L) steps and the final carry into limb i is ``prefix_{i-1}(0)``.
+    Precondition: ``-BASE < y_i < 2*BASE - 1`` so the triples stay in range.
+    """
+    n = y.shape[0]
+    lo = (y - 1) >> BASE_BITS
+    mid = y >> BASE_BITS
+    hi = (y + 1) >> BASE_BITS
+
+    def apply_map(f_lo, f_mid, f_hi, v):
+        return jnp.where(v == -1, f_lo, jnp.where(v == 0, f_mid, f_hi))
+
+    d = 1
+    while d < n:
+        plo = _shift_down_fill(lo, d, -1)
+        pmid = _shift_down_fill(mid, d, 0)
+        phi = _shift_down_fill(hi, d, 1)
+        lo, mid, hi = (
+            apply_map(lo, mid, hi, plo),
+            apply_map(lo, mid, hi, pmid),
+            apply_map(lo, mid, hi, phi),
+        )
+        d *= 2
+    carry_in = _shift_down(mid, 1)
+    return (y + carry_in) & MASK
+
+
+def carry_prop(x: jnp.ndarray, out_len: int, sweeps: int = 2) -> jnp.ndarray:
+    """Normalize limbs to [0, BASE); output ``out_len`` limbs (mod beta^out_len).
+
+    ``sweeps`` shift-add passes bound the residual limb magnitudes, then a
+    Kogge-Stone prefix resolves the exact {-1,0,1} carries.  Two sweeps
+    suffice for any int32 input (|carry| <= 2^18 -> <= 2^5 -> {-1,0,1});
+    ``sweeps=0`` is valid when input limbs are already in
+    ``(-BASE, 2*BASE-1)`` — e.g. sums/differences of normalized values.
+    """
+    y = x
+    if y.shape[0] != out_len and sweeps == 0:
+        if y.shape[0] < out_len:
+            y = jnp.pad(y, [(0, out_len - y.shape[0])] + [(0, 0)] * (y.ndim - 1))
+        else:
+            y = y[:out_len]
+    for _ in range(sweeps):
+        y = _sweep(y, out_len)
+    return _ks_resolve(y)
+
+
+# ---------------------------------------------------------------------------
+# convolution (schoolbook polynomial product, unrolled)
+# ---------------------------------------------------------------------------
+
+def conv_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Product of limb vectors; output unnormalized, length ``la + lb - 1``.
+
+    Shift-and-add formulation (pad + add, no scatter) so the same body
+    lowers both through XLA and through Mosaic inside Pallas kernels.
+    """
+    na, nb = a.shape[0], b.shape[0]
+    out_len = na + nb - 1
+    out = None
+    for i in range(na):
+        prod = a[i] * b  # (nb, batch)
+        pad = [(i, out_len - nb - i)] + [(0, 0)] * (prod.ndim - 1)
+        shifted = jnp.pad(prod, pad)
+        out = shifted if out is None else out + shifted
+    return out
+
+
+def conv_low(a: jnp.ndarray, b: jnp.ndarray, keep: int) -> jnp.ndarray:
+    """Truncated product: only the low ``keep`` output rows."""
+    out = None
+    for i in range(min(a.shape[0], keep)):
+        width = min(b.shape[0], keep - i)
+        prod = a[i] * b[:width]
+        pad = [(i, keep - width - i)] + [(0, 0)] * (prod.ndim - 1)
+        shifted = jnp.pad(prod, pad)
+        out = shifted if out is None else out + shifted
+    return out
+
+
+# ---------------------------------------------------------------------------
+# comparison / conditional subtraction
+# ---------------------------------------------------------------------------
+
+def _ge(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lexicographic >= for normalized equal-length limb vectors."""
+    n = a.shape[0]
+    shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    gt = jnp.zeros(shape, dtype=jnp.bool_)
+    eq = jnp.ones(shape, dtype=jnp.bool_)
+    for i in range(n - 1, -1, -1):
+        gt = gt | (eq & (a[i] > b[i]))
+        eq = eq & (a[i] == b[i])
+    return gt | eq
+
+
+def _cond_sub(r: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """r - m if r >= m else r (normalized limbs, same length).
+
+    Computed as one extended subtraction: the carry-out limb of
+    ``(r - m) mod beta^(L+1)`` is MASK exactly when r < m (the difference
+    wrapped), so no separate lexicographic compare is needed.
+    """
+    L = r.shape[0]
+    d = carry_prop(r - m, L + 1, sweeps=0)
+    neg = d[L] == MASK
+    return jnp.where(neg[None], r, d[:L])
+
+
+# ---------------------------------------------------------------------------
+# modular ops
+# ---------------------------------------------------------------------------
+
+def _barrett_reduce(c_wide: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
+    """Reduce a normalized value of <= WIDE limbs mod ``m`` -> ``NL`` limbs."""
+    if c_wide.shape[0] < WIDE:
+        c_wide = jnp.pad(
+            c_wide, [(0, WIDE - c_wide.shape[0])] + [(0, 0)] * (c_wide.ndim - 1)
+        )
+    m21 = jnp.asarray(mp.m21)
+    mu = jnp.asarray(mp.mu)
+    q1 = c_wide[NL - 1 :]  # floor(c / beta^(NL-1)): NL+1 limbs
+    q2 = carry_prop(conv_full(q1, mu), 2 * NL + 2)
+    q3 = q2[NL + 1 :]  # floor(q2 / beta^(NL+1)): NL+1 limbs
+    r1 = c_wide[: NL + 1]
+    r2 = carry_prop(conv_low(q3, jnp.asarray(mp.m), NL + 1), NL + 1)
+    r = carry_prop(r1 - r2, NL + 1, sweeps=0)  # mod beta^(NL+1)
+    r = _cond_sub(r, m21)
+    r = _cond_sub(r, m21)
+    return r[:NL]
+
+
+def _mod_mul(a: jnp.ndarray, b: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
+    """Batched modular multiplication ``(a * b) mod m``."""
+    wide = carry_prop(conv_full(a, b), WIDE)
+    return _barrett_reduce(wide, mp)
+
+
+def _mod_add(a: jnp.ndarray, b: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
+    s = carry_prop(a + b, NL + 1, sweeps=0)
+    return _cond_sub(s, jnp.asarray(mp.m21))[:NL]
+
+
+def _mod_sub(a: jnp.ndarray, b: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
+    # a + (m - b): limbs in (-2^13, 2^14), single sweep leaves {-1,0,1}.
+    d = carry_prop(a + jnp.asarray(mp.m) - b, NL + 1, sweeps=0)
+    return _cond_sub(d, jnp.asarray(mp.m21))[:NL]
+
+
+def _mod_neg(a: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
+    d = carry_prop(jnp.asarray(mp.m) - a, NL + 1, sweeps=0)
+    return _cond_sub(d, jnp.asarray(mp.m21))[:NL]
+
+
+def mod_select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Branchless where over limb vectors; ``cond`` has the batch shape."""
+    return jnp.where(cond[None], a, b)
+
+
+def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=0)
+
+
+def zeros(batch_shape=()) -> jnp.ndarray:
+    return jnp.zeros((NL,) + batch_shape, dtype=jnp.int32)
+
+
+def from_const(value: int, batch_shape=()) -> jnp.ndarray:
+    limb = jnp.asarray(int_to_limbs_np(value, NL)).reshape((NL,) + (1,) * len(batch_shape))
+    return jnp.broadcast_to(limb, (NL,) + batch_shape)
+
+
+# ---------------------------------------------------------------------------
+# vector reductions
+# ---------------------------------------------------------------------------
+
+# Max summands accumulated in a single int32 pass: limb sums stay < 2^29 and
+# wide totals stay well under beta^(2*NL), preserving the Barrett precondition.
+_ACC_CHUNK = 1 << 16
+
+
+def _sum_mod(a: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
+    """Sum of normalized ``(NL, n)`` elements over the batch axis -> ``(NL,)``."""
+    n = a.shape[-1]
+    while n > _ACC_CHUNK:
+        pads = (-n) % _ACC_CHUNK
+        padded = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pads)])
+        chunked = jnp.sum(padded.reshape(*a.shape[:-1], -1, _ACC_CHUNK), axis=-1)
+        a = _barrett_reduce(carry_prop(chunked, NL + 2), mp)
+        n = a.shape[-1]
+    s = jnp.sum(a, axis=-1, keepdims=True)
+    return _barrett_reduce(carry_prop(s, WIDE), mp)[..., 0]
+
+
+def _inner_product_mod(a: jnp.ndarray, b: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
+    """<a, b> mod m for ``(NL, n)`` inputs -> ``(NL,)``.
+
+    Wide products are carry-normalized per element, summed in chunks of 2^16
+    lanes, then Barrett-reduced.
+    """
+    n = a.shape[-1]
+    prods = carry_prop(conv_full(a, b), WIDE)  # (WIDE, n), limbs < 2^13
+    if n <= _ACC_CHUNK:
+        acc = jnp.sum(prods, axis=-1, keepdims=True)
+        return _barrett_reduce(carry_prop(acc, WIDE), mp)[..., 0]
+    pads = (-n) % _ACC_CHUNK
+    padded = jnp.pad(prods, [(0, 0), (0, pads)])
+    chunk_sums = jnp.sum(padded.reshape(WIDE, -1, _ACC_CHUNK), axis=-1)
+    partials = _barrett_reduce(carry_prop(chunk_sums, WIDE), mp)
+    return _sum_mod(partials, mp)
+
+
+def _mod_pow(a: jnp.ndarray, exponent: int, mp: ModParams) -> jnp.ndarray:
+    """a^exponent (static integer exponent), square-and-multiply ladder.
+
+    Implemented as a ``lax.scan`` over the exponent bits so the compiled
+    graph stays small (body is one square + one select-multiply).
+    """
+    e = int(exponent)
+    if e == 0:
+        return from_const(1, a.shape[1:])
+    nbits = e.bit_length()
+    bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], dtype=jnp.bool_)
+
+    def body(carry, bit):
+        result, base = carry
+        mult = _mod_mul(result, base, mp)
+        result = jnp.where(bit, mult, result)
+        base = _mod_mul(base, base, mp)
+        return (result, base), None
+
+    init = (from_const(1, a.shape[1:]), a)
+    (result, _), _ = jax.lax.scan(body, init, bits)
+    return result
+
+
+def mod_inverse(a: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
+    """Batched inversion by Fermat: a^(m-2).  ~250 squarings; use sparingly."""
+    return mod_pow(a, mp.modulus - 2, mp)
+
+
+def _powers(x: jnp.ndarray, n: int, mp: ModParams) -> jnp.ndarray:
+    """[1, x, x^2, ..., x^(n-1)] for a single ``(NL,)`` element -> ``(NL, n)``.
+
+    Doubling construction: P_{2k} = P_k ++ x^k * P_k (log-depth).
+    """
+    out = from_const(1, (1,))
+    cur_len = 1
+    x_pow = x[:, None]  # x^(cur_len)
+    while cur_len < n:
+        scaled = _mod_mul(out, x_pow, mp)
+        out = jnp.concatenate([out, scaled], axis=-1)
+        x_pow = _mod_mul(x_pow, x_pow, mp)
+        cur_len *= 2
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# public API: jit exactly once at this boundary (nested jit compiles slowly);
+# internal callers and Pallas kernel bodies use the plain _impl functions.
+# ---------------------------------------------------------------------------
+
+barrett_reduce = functools.partial(jax.jit, static_argnums=(1,))(_barrett_reduce)
+mod_mul = functools.partial(jax.jit, static_argnums=(2,))(_mod_mul)
+mod_add = functools.partial(jax.jit, static_argnums=(2,))(_mod_add)
+mod_sub = functools.partial(jax.jit, static_argnums=(2,))(_mod_sub)
+mod_neg = functools.partial(jax.jit, static_argnums=(1,))(_mod_neg)
+sum_mod = functools.partial(jax.jit, static_argnums=(1,))(_sum_mod)
+inner_product_mod = functools.partial(jax.jit, static_argnums=(2,))(_inner_product_mod)
+powers = functools.partial(jax.jit, static_argnums=(1, 2))(_powers)
+mod_pow = functools.partial(jax.jit, static_argnums=(1, 2))(_mod_pow)
