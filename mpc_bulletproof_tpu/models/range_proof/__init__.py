@@ -1,0 +1,261 @@
+"""Single and aggregated Bulletproofs range proofs.
+
+Restores the capability the reference fork stubbed out of the build
+(reference src/lib.rs:36-43): the README doctest API
+(``RangeProof::prove_single`` / ``verify_single`` — README.md:93-147),
+``prove_multiple`` / ``verify_multiple`` aggregation, and the party/dealer
+aggregation protocol (docs/range-proof-protocol.md, docs/aggregation-api.md,
+docs/notes-rp.md).
+
+Proof layout: ``{A, S, T_1, T_2, t(x), ~t(x), ~e}`` followed by the IPP —
+``(9 + 2 log2(n m)) * 32`` bytes.
+
+The verifier is a single mega-MSM; the prover's hot paths (the IPP over the
+``n*m``-length vectors, commitments) ride the TPU kernels via the standard
+dispatch.  The R1CS bit-decomposition gadget
+(:func:`..r1cs.gadgets.range_check_gadget`) is the independent cross-check
+used by the tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ...constants import SCALAR_BYTES, STARK_POINT_BYTES
+from ...generators import BulletproofGens, PedersenGens
+from ...ops import backend
+from ...ops.curve import StarkPoint
+from ...ops.field import Scalar, scalar_powers, sum_of_powers
+from ...transcript import HashChainTranscript
+from ...utils.errors import FormatError, MPCError, VerificationError
+from ..inner_product import InnerProductProof
+from .dealer import Dealer
+from .messages import (  # noqa: F401
+    BitChallenge,
+    BitCommitment,
+    PolyChallenge,
+    PolyCommitment,
+    ProofShare,
+)
+from .party import Party
+
+
+def _msm(scalars, points) -> StarkPoint:
+    if backend.use_device() and len(scalars) >= 32:
+        from ...ops import msm as msm_mod
+
+        return msm_mod.msm_host_points(scalars, points)
+    return StarkPoint.msm(scalars, points)
+
+
+@dataclass
+class RangeProof:
+    A: StarkPoint
+    S: StarkPoint
+    T_1: StarkPoint
+    T_2: StarkPoint
+    t_x: Scalar
+    t_x_blinding: Scalar
+    e_blinding: Scalar
+    ipp_proof: InnerProductProof
+
+    # ------------------------------------------------------------------
+    # proving
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def prove_multiple(
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        transcript: HashChainTranscript,
+        values: list[int],
+        blindings: list[Scalar],
+        n: int,
+    ) -> tuple["RangeProof", list[StarkPoint]]:
+        """Aggregated proof that every value is in [0, 2^n).
+
+        Runs the party/dealer aggregation protocol locally (the same state
+        machines serve a真 distributed deployment through
+        :mod:`.party` / :mod:`.dealer`).
+        """
+        if len(values) != len(blindings):
+            raise MPCError("wrong number of blindings")
+        m = len(values)
+        dealer = Dealer.new(bp_gens, pc_gens, transcript, n, m)
+
+        parties = [
+            Party.new(bp_gens, pc_gens, v, b, n) for v, b in zip(values, blindings)
+        ]
+        positioned, bit_commitments = zip(
+            *(p.assign_position(j) for j, p in enumerate(parties))
+        )
+        value_commitments = [bc.V_j for bc in bit_commitments]
+
+        dealer, bit_challenge = dealer.receive_bit_commitments(list(bit_commitments))
+        polied, poly_commitments = zip(
+            *(p.apply_challenge(bit_challenge) for p in positioned)
+        )
+        dealer, poly_challenge = dealer.receive_poly_commitments(list(poly_commitments))
+        shares = [p.apply_challenge(poly_challenge) for p in polied]
+        proof = dealer.receive_trusted_shares(shares)
+        return proof, value_commitments
+
+    @staticmethod
+    def prove_single(
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        transcript: HashChainTranscript,
+        v: int,
+        v_blinding: Scalar,
+        n: int,
+    ) -> tuple["RangeProof", StarkPoint]:
+        """Proof that ``v`` is in [0, 2^n) (README.md:93-147 API)."""
+        proof, comms = RangeProof.prove_multiple(
+            bp_gens, pc_gens, transcript, [v], [v_blinding], n
+        )
+        return proof, comms[0]
+
+    # ------------------------------------------------------------------
+    # verification
+    # ------------------------------------------------------------------
+
+    def verify_multiple(
+        self,
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        transcript: HashChainTranscript,
+        value_commitments: list[StarkPoint],
+        n: int,
+    ) -> None:
+        """Single-MSM aggregated verification (docs/range-proof-protocol.md,
+        "Verifier's algorithm").  Raises :class:`VerificationError`."""
+        m = len(value_commitments)
+        if n <= 0 or (n & (n - 1)) or bp_gens.gens_capacity < n:
+            raise VerificationError("invalid bitsize")
+        if m <= 0 or (m & (m - 1)) or bp_gens.party_capacity < m:
+            raise VerificationError("invalid aggregation size")
+
+        t = transcript
+        t.rangeproof_domain_sep(n, m)
+        for V in value_commitments:
+            t.append_point(b"V", V)
+        t.validate_and_append_point(b"A", self.A)
+        t.validate_and_append_point(b"S", self.S)
+        y = t.challenge_scalar(b"y")
+        z = t.challenge_scalar(b"z")
+        t.validate_and_append_point(b"T_1", self.T_1)
+        t.validate_and_append_point(b"T_2", self.T_2)
+        x = t.challenge_scalar(b"x")
+        t.append_scalar(b"t_x", self.t_x)
+        t.append_scalar(b"t_x_blinding", self.t_x_blinding)
+        t.append_scalar(b"e_blinding", self.e_blinding)
+        w = t.challenge_scalar(b"w")
+
+        u_sq, u_inv_sq, s = self.ipp_proof.verification_scalars(n * m, t)
+        s_inv = list(reversed(s))
+        a, b = self.ipp_proof.a, self.ipp_proof.b
+
+        # Random combination weight for the two verification equations.
+        c = t.challenge_scalar(b"c")
+
+        y_inv_pows = scalar_powers(y.inverse(), n * m)
+        zz = z * z
+        # concat of z^{2+j} 2^i over blocks
+        pow2 = scalar_powers(Scalar(2), n)
+        z_and_2: list[Scalar] = []
+        exp_z = zz
+        for _ in range(m):
+            for i in range(n):
+                z_and_2.append(exp_z * pow2[i])
+            exp_z = exp_z * z
+
+        g_scalars = [-z - a * s_i for s_i in s]
+        h_scalars = [
+            z + y_inv_pows[i] * (z_and_2[i] - b * s_inv[i]) for i in range(n * m)
+        ]
+
+        # delta(y, z) = (z - z^2) <1, y^{nm}> - sum_j z^{j+3} <1, 2^n>
+        sum_y = sum_of_powers(y, n * m)
+        sum_2 = sum_of_powers(Scalar(2), n)
+        sum_z = sum_of_powers(z, m)
+        delta = (z - zz) * sum_y - z * zz * sum_z * sum_2
+
+        basepoint_scalar = w * (self.t_x - a * b) + c * (delta - self.t_x)
+        value_commitment_scalars = []
+        exp_z = c * zz
+        for _ in range(m):
+            value_commitment_scalars.append(exp_z)
+            exp_z = exp_z * z
+
+        G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
+        H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
+
+        scalars = (
+            [Scalar(1), x, c * x, c * x * x]
+            + value_commitment_scalars
+            + [basepoint_scalar]
+            + [-self.e_blinding - c * self.t_x_blinding]
+            + g_scalars
+            + h_scalars
+            + u_sq
+            + u_inv_sq
+        )
+        points = (
+            [self.A, self.S, self.T_1, self.T_2]
+            + value_commitments
+            + [pc_gens.B, pc_gens.B_blinding]
+            + G
+            + H
+            + self.ipp_proof.L_vec
+            + self.ipp_proof.R_vec
+        )
+        mega_check = _msm(scalars, points)
+        if not mega_check.is_identity():
+            raise VerificationError("range proof failed verification")
+
+    def verify_single(
+        self,
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        transcript: HashChainTranscript,
+        V: StarkPoint,
+        n: int,
+    ) -> None:
+        self.verify_multiple(bp_gens, pc_gens, transcript, [V], n)
+
+    # ------------------------------------------------------------------
+    # codec: (9 + 2k) 32-byte elements
+    # ------------------------------------------------------------------
+
+    def serialized_size(self) -> int:
+        return 4 * STARK_POINT_BYTES + 3 * SCALAR_BYTES + self.ipp_proof.serialized_size()
+
+    def to_bytes(self) -> bytes:
+        buf = bytearray()
+        for p in (self.A, self.S, self.T_1, self.T_2):
+            buf += p.to_bytes()
+        buf += self.t_x.to_bytes_be()
+        buf += self.t_x_blinding.to_bytes_be()
+        buf += self.e_blinding.to_bytes_be()
+        buf += self.ipp_proof.to_bytes()
+        return bytes(buf)
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "RangeProof":
+        if len(data) % 32 != 0 or len(data) < 7 * 32:
+            raise FormatError("bad range proof length")
+        try:
+            A = StarkPoint.from_bytes(data[0:32])
+            S = StarkPoint.from_bytes(data[32:64])
+            T_1 = StarkPoint.from_bytes(data[64:96])
+            T_2 = StarkPoint.from_bytes(data[96:128])
+        except ValueError as exc:
+            raise FormatError(str(exc)) from exc
+        t_x = Scalar.from_be_bytes_mod_order(data[128:160])
+        t_x_blinding = Scalar.from_be_bytes_mod_order(data[160:192])
+        e_blinding = Scalar.from_be_bytes_mod_order(data[192:224])
+        ipp = InnerProductProof.from_bytes(data[224:])
+        return RangeProof(A, S, T_1, T_2, t_x, t_x_blinding, e_blinding, ipp)
+
+    def __eq__(self, other):
+        return isinstance(other, RangeProof) and self.to_bytes() == other.to_bytes()

@@ -68,15 +68,21 @@ class Scalar:
 
     # -- arithmetic ---------------------------------------------------------
 
-    def __add__(self, other) -> "Scalar":
+    def __add__(self, other):
+        if not isinstance(other, (Scalar, int)):
+            return NotImplemented  # let Variable/LC reflected ops engage
         return Scalar(self.value + _coerce(other))
 
     __radd__ = __add__
 
-    def __sub__(self, other) -> "Scalar":
+    def __sub__(self, other):
+        if not isinstance(other, (Scalar, int)):
+            return NotImplemented
         return Scalar(self.value - _coerce(other))
 
-    def __rsub__(self, other) -> "Scalar":
+    def __rsub__(self, other):
+        if not isinstance(other, (Scalar, int)):
+            return NotImplemented
         return Scalar(_coerce(other) - self.value)
 
     def __mul__(self, other):
@@ -85,9 +91,13 @@ class Scalar:
 
         if isinstance(other, StarkPoint):
             return other.scalar_mul(self)
+        if not isinstance(other, (Scalar, int)):
+            return NotImplemented
         return Scalar(self.value * _coerce(other))
 
-    def __rmul__(self, other) -> "Scalar":
+    def __rmul__(self, other):
+        if not isinstance(other, (Scalar, int)):
+            return NotImplemented
         return Scalar(self.value * _coerce(other))
 
     def __neg__(self) -> "Scalar":

@@ -57,13 +57,19 @@ def _pad_lanes(x: jnp.ndarray, mult: int) -> tuple[jnp.ndarray, int]:
     return x, n
 
 
-def _mp_operands(mp: ModParams):
-    return (jnp.asarray(mp.m), jnp.asarray(mp.m21), jnp.asarray(mp.mu))
+def _mp_operands(mp: ModParams, t: int):
+    # Constants are pre-broadcast to the tile width: Mosaic cannot lower the
+    # scalar->2D broadcasts that (NL, 1) columns would otherwise induce.
+    return (
+        jnp.broadcast_to(jnp.asarray(mp.m), (NL, t)),
+        jnp.broadcast_to(jnp.asarray(mp.m21), (NL + 1, t)),
+        jnp.broadcast_to(jnp.asarray(mp.mu), (NL + 1, t)),
+    )
 
 
-def _mp_specs():
+def _mp_specs(t: int):
     cs = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    return [cs((NL, 1)), cs((NL + 1, 1)), cs((NL + 1, 1))]
+    return [cs((NL, t)), cs((NL + 1, t)), cs((NL + 1, t))]
 
 
 def _kernel_mp(m_ref, m21_ref, mu_ref, modulus: int) -> ModParams:
@@ -80,13 +86,13 @@ def _kernel_mp(m_ref, m21_ref, mu_ref, modulus: int) -> ModParams:
 _B3_LIMBS = limb.int_to_limbs_np(curve_jax._B3, NL)
 
 
-def _curve_operands():
-    return (*_mp_operands(FP), jnp.asarray(_B3_LIMBS))
+def _curve_operands(t: int):
+    return (*_mp_operands(FP, t), jnp.broadcast_to(jnp.asarray(_B3_LIMBS), (NL, t)))
 
 
-def _curve_specs():
+def _curve_specs(t: int):
     cs = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    return _mp_specs() + [cs((NL, 1))]
+    return _mp_specs(t) + [cs((NL, t))]
 
 
 def _kernel_curve_ctx(m_ref, m21_ref, mu_ref, b3_ref):
@@ -111,10 +117,10 @@ def point_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         _padd_kernel,
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
         grid=(a.shape[-1] // t,),
-        in_specs=_curve_specs() + [pts_spec, pts_spec],
+        in_specs=_curve_specs(t) + [pts_spec, pts_spec],
         out_specs=pts_spec,
         interpret=_interpret(),
-    )(*_curve_operands(), a, b)
+    )(*_curve_operands(t), a, b)
     return out[..., :n]
 
 
@@ -153,10 +159,10 @@ def _vec2(opname: str, a: jnp.ndarray, b: jnp.ndarray, mp: ModParams) -> jnp.nda
         _VEC2_KERNELS[opname],
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
         grid=(a.shape[-1] // t,),
-        in_specs=_mp_specs() + [spec, spec],
+        in_specs=_mp_specs(t) + [spec, spec],
         out_specs=spec,
         interpret=_interpret(),
-    )(*_mp_operands(mp), a, b)
+    )(*_mp_operands(mp, t), a, b)
     return out[..., :n]
 
 

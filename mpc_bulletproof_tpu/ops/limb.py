@@ -199,17 +199,33 @@ def carry_prop(x: jnp.ndarray, out_len: int, sweeps: int = 2) -> jnp.ndarray:
 # convolution (schoolbook polynomial product, unrolled)
 # ---------------------------------------------------------------------------
 
+def _broadcast_batch(a: jnp.ndarray, b: jnp.ndarray):
+    """Broadcast both operands to a common batch shape up front.
+
+    Mosaic cannot lower a broadcast that expands sublanes and lanes at once
+    (e.g. (1,1) -> (20,64)); pre-broadcasting the lane dims keeps every
+    later broadcast single-axis.
+    """
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    if a.shape[1:] != batch:
+        a = jnp.broadcast_to(a, (a.shape[0],) + batch)
+    if b.shape[1:] != batch:
+        b = jnp.broadcast_to(b, (b.shape[0],) + batch)
+    return a, b
+
+
 def conv_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Product of limb vectors; output unnormalized, length ``la + lb - 1``.
 
     Shift-and-add formulation (pad + add, no scatter) so the same body
     lowers both through XLA and through Mosaic inside Pallas kernels.
     """
+    a, b = _broadcast_batch(a, b)
     na, nb = a.shape[0], b.shape[0]
     out_len = na + nb - 1
     out = None
     for i in range(na):
-        prod = a[i] * b  # (nb, batch)
+        prod = a[i][None] * b  # (nb, batch)
         pad = [(i, out_len - nb - i)] + [(0, 0)] * (prod.ndim - 1)
         shifted = jnp.pad(prod, pad)
         out = shifted if out is None else out + shifted
@@ -218,10 +234,11 @@ def conv_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def conv_low(a: jnp.ndarray, b: jnp.ndarray, keep: int) -> jnp.ndarray:
     """Truncated product: only the low ``keep`` output rows."""
+    a, b = _broadcast_batch(a, b)
     out = None
     for i in range(min(a.shape[0], keep)):
         width = min(b.shape[0], keep - i)
-        prod = a[i] * b[:width]
+        prod = a[i][None] * b[:width]
         pad = [(i, keep - width - i)] + [(0, 0)] * (prod.ndim - 1)
         shifted = jnp.pad(prod, pad)
         out = shifted if out is None else out + shifted
