@@ -157,3 +157,49 @@ class TranscriptRng:
 
     def random_scalar(self) -> Scalar:
         return Scalar(int.from_bytes(self.randbytes(48), "big") % R)
+
+
+class MpcTranscript:
+    """Transcript for the multiprover setting.
+
+    The reference sequences transcript mutations as dummy gates in its lazy
+    MPC dataflow graph so both parties absorb opened values in a canonical
+    order (reference src/transcript.rs:127-268).  This fabric is eager and
+    round-explicit, so program order *is* the canonical order: both parties
+    execute the identical protocol sequence and absorb identical opened
+    values, keeping their Fiat-Shamir challenges synchronized.  The wrapper
+    therefore simply guards that only opened (public) values are absorbed.
+    """
+
+    __slots__ = ("inner",)
+
+    def __init__(self, transcript: HashChainTranscript):
+        self.inner = transcript
+
+    def innerproduct_domain_sep(self, n: int) -> None:
+        self.inner.innerproduct_domain_sep(n)
+
+    def r1cs_domain_sep(self) -> None:
+        self.inner.r1cs_domain_sep()
+
+    def r1cs_1phase_domain_sep(self) -> None:
+        self.inner.r1cs_1phase_domain_sep()
+
+    def r1cs_2phase_domain_sep(self) -> None:
+        self.inner.r1cs_2phase_domain_sep()
+
+    def append_u64(self, label: bytes, value: int) -> None:
+        self.inner.append_u64(label, value)
+
+    def append_scalar(self, label: bytes, scalar: Scalar) -> None:
+        if not isinstance(scalar, Scalar):
+            raise TypeError("MpcTranscript absorbs opened (public) scalars only")
+        self.inner.append_scalar(label, scalar)
+
+    def append_point(self, label: bytes, point: StarkPoint) -> None:
+        if not isinstance(point, StarkPoint):
+            raise TypeError("MpcTranscript absorbs opened (public) points only")
+        self.inner.append_point(label, point)
+
+    def challenge_scalar(self, label: bytes) -> Scalar:
+        return self.inner.challenge_scalar(label)

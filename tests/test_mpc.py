@@ -1,0 +1,333 @@
+"""Two-party MPC tests: fabric primitives, shared IPP, collaborative R1CS.
+
+Both parties run as threads over the in-process transport — the same
+coverage as the reference's 2-process integration suite
+(integration/mpc_inner_product.rs, integration/mpc_prover.rs), including
+transcript synchronization and malleability (MAC-failure) tests.
+"""
+
+import random
+import threading
+
+import pytest
+
+from mpc_bulletproof_tpu import (
+    BulletproofGens,
+    HashChainTranscript,
+    PedersenGens,
+    Scalar,
+    StarkPoint,
+)
+from mpc_bulletproof_tpu.models.inner_product import InnerProductProof
+from mpc_bulletproof_tpu.models.r1cs import Prover, Verifier
+from mpc_bulletproof_tpu.models.r1cs.gadgets import example_gadget
+from mpc_bulletproof_tpu.models.r1cs_mpc import MpcProver, SharedInnerProductProof
+from mpc_bulletproof_tpu.ops.field import inner_product, scalar_powers
+from mpc_bulletproof_tpu.parallel.beaver import PartyIdBeaverSource
+from mpc_bulletproof_tpu.parallel.fabric import AuthenticatedScalarVector, MpcFabric
+from mpc_bulletproof_tpu.parallel.network import make_local_pair
+from mpc_bulletproof_tpu.transcript import MpcTranscript
+from mpc_bulletproof_tpu.utils.errors import AuthenticationError
+
+rng = random.Random(31337)
+PC = PedersenGens()
+BP = BulletproofGens(64, 1)
+
+
+def rand_scalar():
+    return Scalar(rng.getrandbits(260))
+
+
+def run_two_parties(fn0, fn1):
+    """Run both party closures over a local transport; returns [res0, res1]."""
+    net0, net1 = make_local_pair()
+    fabrics = [
+        MpcFabric(net0, PartyIdBeaverSource(0)),
+        MpcFabric(net1, PartyIdBeaverSource(1)),
+    ]
+    results = [None, None]
+    errors = [None, None]
+
+    def runner(i, fn):
+        try:
+            results[i] = fn(fabrics[i])
+        except Exception as exc:  # noqa: BLE001 - surfaced below
+            errors[i] = exc
+
+    threads = [
+        threading.Thread(target=runner, args=(0, fn0)),
+        threading.Thread(target=runner, args=(1, fn1)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    for err in errors:
+        if err is not None:
+            raise err
+    return results
+
+
+# ---------------------------------------------------------------------------
+# fabric primitives
+# ---------------------------------------------------------------------------
+
+def test_share_and_open():
+    values = [rand_scalar() for _ in range(5)]
+
+    def party0(fabric):
+        shared = fabric.batch_share_scalars(values, owner=0)
+        return shared.open_authenticated()
+
+    def party1(fabric):
+        shared = fabric.batch_share_scalars(None, owner=0, count=5)
+        return shared.open_authenticated()
+
+    r0, r1 = run_two_parties(party0, party1)
+    assert r0 == values and r1 == values
+
+
+def test_beaver_mul():
+    xs = [rand_scalar() for _ in range(4)]
+    ys = [rand_scalar() for _ in range(4)]
+
+    def party(owner_vals):
+        def fn(fabric):
+            x = fabric.batch_share_scalars(
+                xs if fabric.party_id == 0 else None, owner=0, count=4
+            )
+            y = fabric.batch_share_scalars(
+                ys if fabric.party_id == 1 else None, owner=1, count=4
+            )
+            z = fabric.beaver_mul(x, y)
+            return z.open_authenticated()
+
+        return fn
+
+    r0, r1 = run_two_parties(party(0), party(1))
+    expect = [a * b for a, b in zip(xs, ys)]
+    assert r0 == expect and r1 == expect
+
+
+def test_linear_ops_and_inner_product():
+    xs = [Scalar(i + 1) for i in range(6)]
+    ys = [Scalar(2 * i + 1) for i in range(6)]
+
+    def fn(fabric):
+        x = fabric.batch_share_scalars(xs if fabric.party_id == 0 else None, 0, count=6)
+        y = fabric.batch_share_scalars(ys if fabric.party_id == 1 else None, 1, count=6)
+        combo = (x + y).mul_public(Scalar(3)) - y
+        opened_combo = combo.open_authenticated()
+        ip = fabric.inner_product(x, y).open_authenticated()[0]
+        return opened_combo, ip
+
+    (c0, ip0), (c1, ip1) = run_two_parties(fn, fn)
+    expect_combo = [(a + b) * Scalar(3) - b for a, b in zip(xs, ys)]
+    assert c0 == expect_combo == c1
+    assert ip0 == inner_product(xs, ys) == ip1
+
+
+def test_mac_check_fails_on_tampered_share():
+    def party0(fabric):
+        shared = fabric.batch_share_scalars([Scalar(42)], owner=0)
+        shared.shares[0] = shared.shares[0] + Scalar(1)  # malleate
+        with pytest.raises(AuthenticationError):
+            shared.open_authenticated()
+        return True
+
+    def party1(fabric):
+        shared = fabric.batch_share_scalars(None, owner=0, count=1)
+        with pytest.raises(AuthenticationError):
+            shared.open_authenticated()
+        return True
+
+    assert run_two_parties(party0, party1) == [True, True]
+
+
+def test_shared_point_msm_and_open():
+    g = StarkPoint.generator()
+    pts = [g.scalar_mul(Scalar(i + 2)) for i in range(3)]
+    scalars = [Scalar(5), Scalar(7), Scalar(9)]
+
+    def fn(fabric):
+        s = fabric.batch_share_scalars(
+            scalars if fabric.party_id == 0 else None, 0, count=3
+        )
+        shared_pt = fabric.shared_msm(s, pts)
+        return shared_pt.open_authenticated()
+
+    r0, r1 = run_two_parties(fn, fn)
+    expect = StarkPoint.msm(scalars, pts)
+    assert r0 == expect == r1
+
+
+# ---------------------------------------------------------------------------
+# shared inner-product proof (integration/mpc_inner_product.rs analogue)
+# ---------------------------------------------------------------------------
+
+def shared_ipp_helper(n, tamper=False):
+    G = BP.share(0).G(n)
+    H = BP.share(0).H(n)
+    Q = StarkPoint.generator().scalar_mul(Scalar(0xABCDEF))
+    a = [rand_scalar() for _ in range(n)]
+    b = [rand_scalar() for _ in range(n)]
+    y_inv = rand_scalar()
+    G_factors = [Scalar(1)] * n
+    H_factors = scalar_powers(y_inv, n)
+
+    def fn(fabric):
+        a_sh = fabric.batch_share_scalars(a if fabric.party_id == 0 else None, 0, count=n)
+        b_sh = fabric.batch_share_scalars(b if fabric.party_id == 1 else None, 1, count=n)
+        t = MpcTranscript(HashChainTranscript(b"ipptest"))
+        proof = SharedInnerProductProof.create(
+            t, Q, G_factors, H_factors, list(G), list(H), a_sh, b_sh, fabric
+        )
+        if tamper and fabric.party_id == 0:
+            proof.a.shares[0] = proof.a.shares[0] + Scalar(1)
+        return proof.open()
+
+    return run_two_parties(fn, fn)
+
+
+@pytest.mark.parametrize("n", [2, 8, 32])
+def test_shared_ipp_roundtrip(n):
+    p0, p1 = shared_ipp_helper(n)
+    assert p0 == p1  # both parties assemble the same opened proof
+
+    # Verify against P built from the plain witness.
+    a = None
+    # recompute the same witness deterministically is awkward; instead verify
+    # the algebraic relation via the proof's own verify with P reconstructed
+    # from the opened a,b is not possible — so verify like the reference
+    # does: construct P from the original inputs.
+
+
+def test_shared_ipp_verifies():
+    n = 8
+    G = BP.share(0).G(n)
+    H = BP.share(0).H(n)
+    Q = StarkPoint.generator().scalar_mul(Scalar(0xABCDEF))
+    a = [rand_scalar() for _ in range(n)]
+    b = [rand_scalar() for _ in range(n)]
+    y_inv = rand_scalar()
+    G_factors = [Scalar(1)] * n
+    H_factors = scalar_powers(y_inv, n)
+
+    def fn(fabric):
+        a_sh = fabric.batch_share_scalars(a if fabric.party_id == 0 else None, 0, count=n)
+        b_sh = fabric.batch_share_scalars(b if fabric.party_id == 1 else None, 1, count=n)
+        t = MpcTranscript(HashChainTranscript(b"ipptest"))
+        proof = SharedInnerProductProof.create(
+            t, Q, G_factors, H_factors, list(G), list(H), a_sh, b_sh, fabric
+        )
+        return proof.open()
+
+    p0, p1 = run_two_parties(fn, fn)
+    assert p0 == p1
+
+    b_prime = [bi * yi for bi, yi in zip(b, H_factors)]
+    c = inner_product(a, b)
+    P = StarkPoint.msm(a + b_prime + [c], G + H + [Q])
+    t = HashChainTranscript(b"ipptest")
+    p0.verify(n, t, G_factors, H_factors, P, Q, G, H)
+
+
+def test_shared_ipp_malleability_detected():
+    with pytest.raises(AuthenticationError):
+        shared_ipp_helper(4, tamper=True)
+
+
+# ---------------------------------------------------------------------------
+# collaborative R1CS (integration/mpc_prover.rs analogue)
+# ---------------------------------------------------------------------------
+
+def test_mpc_r1cs_simple_circuit():
+    """(a1+a2)*(b1+b2) = (c1+c2) with interleaved witness ownership; the
+    opened proof verifies under the plain single-prover verifier."""
+    a1, b1, c1 = 3, 6, 40   # party 0's witness
+    a2, b2 = 4, 1           # party 1's witness
+    c2 = 9                  # public
+
+    blind = [rand_scalar() for _ in range(5)]
+
+    def fn(fabric):
+        transcript = HashChainTranscript(b"mpc-example")
+        prover = MpcProver(fabric, PC, transcript)
+        if fabric.party_id == 0:
+            comms0, vars0 = prover.batch_commit(
+                0, [Scalar(a1), Scalar(b1), Scalar(c1)], blind[:3]
+            )
+            comms1, vars1 = prover.batch_commit(1, None, None, count=2)
+        else:
+            comms0, vars0 = prover.batch_commit(0, None, None, count=3)
+            comms1, vars1 = prover.batch_commit(
+                1, [Scalar(a2), Scalar(b2)], blind[3:]
+            )
+        va1, vb1, vc1 = vars0
+        va2, vb2 = vars1
+        example_gadget(
+            prover,
+            va1.to_lc(), va2.to_lc(), vb1.to_lc(), vb2.to_lc(),
+            vc1.to_lc(), _const_lc(c2),
+        )
+        shared_proof = prover.prove(BP)
+        proof = shared_proof.open()
+        return proof, comms0 + comms1
+
+    (proof0, comms0), (proof1, comms1) = run_two_parties(fn, fn)
+    assert proof0 == proof1
+    assert comms0 == comms1
+
+    # Plain single-prover verification (the compatibility invariant).
+    vt = HashChainTranscript(b"mpc-example")
+    verifier = Verifier(PC, vt)
+    vvars = [verifier.commit(c) for c in comms0]
+    example_gadget(
+        verifier,
+        vvars[0].to_lc(), vvars[3].to_lc(), vvars[1].to_lc(), vvars[4].to_lc(),
+        vvars[2].to_lc(), _const_lc(c2),
+    )
+    verifier.verify(proof0, BP)
+
+
+def test_mpc_r1cs_false_statement_rejected():
+    blind = [rand_scalar() for _ in range(5)]
+
+    def fn(fabric):
+        transcript = HashChainTranscript(b"mpc-false")
+        prover = MpcProver(fabric, PC, transcript)
+        if fabric.party_id == 0:
+            comms0, vars0 = prover.batch_commit(0, [Scalar(3), Scalar(6), Scalar(40)], blind[:3])
+            comms1, vars1 = prover.batch_commit(1, None, None, count=2)
+        else:
+            comms0, vars0 = prover.batch_commit(0, None, None, count=3)
+            comms1, vars1 = prover.batch_commit(1, [Scalar(4), Scalar(1)], blind[3:])
+        example_gadget(
+            prover,
+            vars0[0].to_lc(), vars1[0].to_lc(), vars0[1].to_lc(), vars1[1].to_lc(),
+            vars0[2].to_lc(), _const_lc(10),  # wrong: c2 should be 9
+        )
+        return prover.prove(BP).open(), comms0 + comms1
+
+    (proof, comms), _ = run_two_parties(fn, fn)
+    vt = HashChainTranscript(b"mpc-false")
+    verifier = Verifier(PC, vt)
+    vvars = [verifier.commit(c) for c in comms]
+    example_gadget(
+        verifier,
+        vvars[0].to_lc(), vvars[3].to_lc(), vvars[1].to_lc(), vvars[4].to_lc(),
+        vvars[2].to_lc(), _const_lc(10),
+    )
+    from mpc_bulletproof_tpu.utils.errors import VerificationError
+
+    with pytest.raises(VerificationError):
+        verifier.verify(proof, BP)
+
+
+def _const_lc(value):
+    from mpc_bulletproof_tpu.models.r1cs.linear_combination import (
+        LinearCombination,
+        Variable,
+    )
+
+    return LinearCombination({Variable.one(): Scalar(value)})
