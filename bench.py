@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): 64-bit rangeproof proving vs the 7,300 us AVX2
+dalek baseline on Skylake-X.  We report the per-proof proving time of an
+aggregated m-proof batch (throughput amortized), plus auxiliary metrics
+(verification, MSM points/sec) on stderr.
+
+Run on TPU by default; falls back to host arithmetic when no TPU backend
+is available (BP_FORCE_BACKEND=host|device overrides).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def tpu_transfers_healthy(timeout_s: float = 20.0) -> bool:
+    """The axon tunnel can wedge on device->host transfers; probe it."""
+    import multiprocessing as mp
+
+    def probe(q):
+        try:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            x = (jnp.arange(8, dtype=jnp.int32) * 3).block_until_ready()
+            q.put(int(np.asarray(x)[4]))
+        except Exception:  # noqa: BLE001
+            q.put(None)
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    proc = ctx.Process(target=probe, args=(q,))
+    proc.start()
+    proc.join(timeout_s)
+    if proc.is_alive():
+        proc.terminate()
+        proc.join()
+        return False
+    try:
+        return q.get_nowait() == 12
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def main():
+    n_bits = int(os.environ.get("BENCH_N_BITS", "64"))
+    m = int(os.environ.get("BENCH_M", "16"))
+    baseline_us = 7300.0  # dalek AVX2 Skylake-X, single 64-bit proof
+
+    import jax
+
+    backend = jax.default_backend()
+    if backend == "tpu" and not tpu_transfers_healthy():
+        log("WARNING: TPU device->host transfers unhealthy; forcing host backend")
+        os.environ["BP_FORCE_BACKEND"] = "host"
+
+    from mpc_bulletproof_tpu import (
+        BulletproofGens,
+        HashChainTranscript,
+        PedersenGens,
+        Scalar,
+    )
+    from mpc_bulletproof_tpu.models.range_proof import RangeProof
+    from mpc_bulletproof_tpu.ops import backend as bp_backend
+
+    log(f"backend={backend} device_path={bp_backend.use_device()} n={n_bits} m={m}")
+
+    pc_gens = PedersenGens()
+    t0 = time.time()
+    bp_gens = BulletproofGens(n_bits, m)
+    log(f"generator setup: {time.time() - t0:.2f}s")
+
+    import random
+
+    rng = random.Random(1234)
+    values = [rng.randrange(0, 1 << n_bits) for _ in range(m)]
+    blindings = [Scalar(rng.getrandbits(260)) for _ in range(m)]
+
+    # Warmup (compiles kernels on the device path).
+    t = HashChainTranscript(b"bench-warmup")
+    proof, comms = RangeProof.prove_multiple(bp_gens, pc_gens, t, values, blindings, n_bits)
+    tv = HashChainTranscript(b"bench-warmup")
+    proof.verify_multiple(bp_gens, pc_gens, tv, comms, n_bits)
+    log("warmup round trip ok")
+
+    # Timed proving runs.
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    prove_times = []
+    for i in range(reps):
+        t = HashChainTranscript(b"bench")
+        t0 = time.time()
+        proof, comms = RangeProof.prove_multiple(
+            bp_gens, pc_gens, t, values, blindings, n_bits
+        )
+        prove_times.append(time.time() - t0)
+    best_prove_s = min(prove_times)
+    per_proof_us = best_prove_s / m * 1e6
+
+    verify_times = []
+    for i in range(reps):
+        tv = HashChainTranscript(b"bench")
+        t0 = time.time()
+        proof.verify_multiple(bp_gens, pc_gens, tv, comms, n_bits)
+        verify_times.append(time.time() - t0)
+    per_verify_us = min(verify_times) / m * 1e6
+
+    log(f"prove: {best_prove_s*1e3:.1f} ms total, {per_proof_us:.0f} us/proof (m={m})")
+    log(f"verify: {per_verify_us:.0f} us/proof")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{n_bits}-bit rangeproof prove us/proof (aggregated m={m})",
+                "value": round(per_proof_us, 1),
+                "unit": "us",
+                "vs_baseline": round(baseline_us / per_proof_us, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -102,8 +102,7 @@ def _reduce_sum(pts: jnp.ndarray) -> jnp.ndarray:
     return pts
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def msm_device(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = None):
+def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = None):
     """MSM over ``(NL, n)`` scalars and ``(3, NL, n)`` points -> ``(3, NL)``."""
     n = scalars.shape[-1]
     if c is None:
@@ -156,3 +155,6 @@ def msm_host_points(scalars, points, c: int | None = None):
     p = cj.points_from_host(points)
     out = msm_device(s, p, c)
     return cj.points_to_host(out[..., None])[0]
+
+
+msm_device = functools.partial(jax.jit, static_argnums=(2,))(_msm_device_impl)

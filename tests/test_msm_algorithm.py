@@ -1,0 +1,90 @@
+"""Validates the MSM algorithm design against the naive host MSM.
+
+The device MSM (ops/msm.py) uses a non-standard bucket-accumulation scheme:
+per-bucket sums are derived from an *unsegmented* inclusive prefix scan of
+digit-sorted points (bucket_b = cum_b - cum_{b-1}), and the running-sum
+reduction is expressed as sum_j (total - cum_{j-1}).  This test executes the
+exact same algorithm with host points (the device kernels — point add,
+carries, Barrett — are validated elementwise elsewhere), pinning the math
+for all the edge cases: zero scalars, duplicate digits, identity points,
+non-power-of-two sizes.
+
+The full device path additionally runs under the TPU benchmarks and, when a
+TPU backend is live, the kernel tests.
+"""
+
+import random
+
+import pytest
+
+from mpc_bulletproof_tpu import Scalar, StarkPoint
+from mpc_bulletproof_tpu.ops.msm import FIELD_BITS, select_window
+
+rng = random.Random(555)
+
+
+def msm_algorithm_host(scalars, points, c):
+    """Mirror of ops/msm.py:_msm_device_impl with host arithmetic."""
+    n = len(scalars)
+    npad = 1
+    while npad < n:
+        npad *= 2
+    ks = [int(s) for s in scalars] + [0] * (npad - n)
+    pts = list(points) + [StarkPoint.identity()] * (npad - n)
+    n = npad
+    B = 1 << c
+    nw = -(-FIELD_BITS // c)
+
+    window_sums = []
+    for w in range(nw):
+        digits = [(k >> (w * c)) & (B - 1) for k in ks]
+        order = sorted(range(n), key=lambda i: digits[i])
+        d_sorted = [digits[i] for i in order]
+        p_sorted = [pts[i] for i in order]
+        # inclusive prefix scan
+        cumsum = []
+        acc = StarkPoint.identity()
+        for p in p_sorted:
+            acc = acc + p
+            cumsum.append(acc)
+        total = cumsum[-1]
+        # window = sum_{j=1..B-1} (total - cum_{j-1})
+        win = StarkPoint.identity()
+        import bisect
+
+        for j in range(1, B):
+            pos = bisect.bisect_right(d_sorted, j - 1) - 1
+            cum = cumsum[pos] if pos >= 0 else StarkPoint.identity()
+            win = win + (total - cum)
+        window_sums.append(win)
+
+    result = StarkPoint.identity()
+    for w in reversed(range(nw)):
+        for _ in range(c):
+            result = result.double()
+        result = result + window_sums[w]
+    return result
+
+
+@pytest.mark.parametrize("n,c", [(1, 4), (3, 4), (8, 5), (16, 4), (16, 13), (33, 6)])
+def test_msm_algorithm_matches_naive(n, c):
+    g = StarkPoint.generator()
+    pts = [g.scalar_mul(Scalar(rng.getrandbits(260))) for _ in range(n)]
+    scalars = [Scalar(rng.getrandbits(260)) for _ in range(n)]
+    assert msm_algorithm_host(scalars, pts, c) == StarkPoint.msm(scalars, pts)
+
+
+def test_msm_algorithm_edge_cases():
+    g = StarkPoint.generator()
+    # zero scalars, identity points, duplicate digits
+    pts = [g, g.double(), StarkPoint.identity(), g, -g]
+    scalars = [Scalar(0), Scalar(1), Scalar(12345), Scalar(1), Scalar((1 << 252) - 1)]
+    assert msm_algorithm_host(scalars, pts, 4) == StarkPoint.msm(scalars, pts)
+    # all-equal digits (worst case for bucket collision handling)
+    pts = [g.scalar_mul(Scalar(i + 1)) for i in range(8)]
+    scalars = [Scalar(7)] * 8
+    assert msm_algorithm_host(scalars, pts, 4) == StarkPoint.msm(scalars, pts)
+
+
+def test_select_window_monotone():
+    assert 4 <= select_window(16) <= select_window(1 << 20) <= 13
