@@ -22,33 +22,25 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def tpu_transfers_healthy(timeout_s: float = 20.0) -> bool:
-    """The axon tunnel can wedge on device->host transfers; probe it."""
-    import multiprocessing as mp
+def tpu_transfers_healthy(timeout_s: float = 30.0) -> bool:
+    """The axon tunnel can wedge on device->host transfers; probe it in a
+    throwaway subprocess so a hang cannot block the benchmark."""
+    import subprocess
 
-    def probe(q):
-        try:
-            import jax
-            import jax.numpy as jnp
-            import numpy as np
-
-            x = (jnp.arange(8, dtype=jnp.int32) * 3).block_until_ready()
-            q.put(int(np.asarray(x)[4]))
-        except Exception:  # noqa: BLE001
-            q.put(None)
-
-    ctx = mp.get_context("spawn")
-    q = ctx.Queue()
-    proc = ctx.Process(target=probe, args=(q,))
-    proc.start()
-    proc.join(timeout_s)
-    if proc.is_alive():
-        proc.terminate()
-        proc.join()
-        return False
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = (jnp.arange(8, dtype=jnp.int32) * 3).block_until_ready();"
+        "print(int(np.asarray(x)[4]))"
+    )
     try:
-        return q.get_nowait() == 12
-    except Exception:  # noqa: BLE001
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+        )
+        return out.stdout.strip().endswith("12")
+    except subprocess.TimeoutExpired:
         return False
 
 

@@ -68,8 +68,13 @@ class GeneratorsChain:
         return hash_to_scalar(self.state)
 
     def take(self, n: int) -> list[StarkPoint]:
+        scalars = [self.next_scalar() for _ in range(n)]
+        from .utils import native
+
+        if native.available() and n >= 4:
+            return native.fixed_base_mul(scalars, StarkPoint.generator())
         gen = StarkPoint.generator()
-        return [gen.scalar_mul(self.next_scalar()) for _ in range(n)]
+        return [gen.scalar_mul(s) for s in scalars]
 
     def take_scalars(self, n: int) -> list[Scalar]:
         return [self.next_scalar() for _ in range(n)]

@@ -215,6 +215,120 @@ def _msm(scalars, points) -> StarkPoint:
 # ---------------------------------------------------------------------------
 
 def _create_host(transcript, Q, G_factors, H_factors, G, H, a, b):
+    """Coefficient-tracking IPP prover.
+
+    Instead of materializing folded generator vectors (a per-element double
+    scalar multiplication every round — the dominant cost of the reference's
+    ``fold_witness``), track a scalar coefficient per *original* generator:
+    after rounds with challenges u_1..u_j, folded generator k equals
+    ``sum_{i mod L == k} w_i G_i``, so each round's L and R are single
+    (n+1)-term MSMs over the original generators with coefficients
+    ``w_i * a_class(i)``.  Point work per proof drops from
+    ~2n scalar-mults + shrinking MSMs to log(n) fixed-size MSMs.
+    The ``G_factors``/``H_factors`` initialize the coefficients, which also
+    removes the reference's special-cased first round.
+    """
+    n = len(G)
+    if n == 1:
+        return InnerProductProof([], [], a[0], b[0])
+
+    from ..utils import native
+
+    MOD = Scalar.MODULUS
+    wG = [int(x) for x in G_factors]
+    wH = [int(x) for x in H_factors]
+    av = [int(x) for x in a]
+    bv = [int(x) for x in b]
+    L_vec: list[StarkPoint] = []
+    R_vec: list[StarkPoint] = []
+
+    use_native = native.available() and n >= 8
+    if use_native:
+        table = native.PointTable(list(G) + list(H) + [Q])
+    all_pts = list(G) + list(H) + [Q]
+
+    cur = n
+    while cur > 1:
+        half = cur // 2
+        a_L, a_R = av[:half], av[half:]
+        b_L, b_R = bv[:half], bv[half:]
+        c_L = sum(x * y for x, y in zip(a_L, b_R)) % MOD
+        c_R = sum(x * y for x, y in zip(a_R, b_L)) % MOD
+
+        # L = <a_L, G'_R> + <b_R, H'_L> + c_L Q, expressed over the ORIGINAL
+        # generators via the tracked coefficients (see docstring).
+        idxL, idxR = _ipp_round_indices(n, cur)
+        sL = [0] * (n + 1)
+        sR = [0] * (n + 1)
+        for i in range(n):
+            r = i % cur
+            if r >= half:
+                sL[i] = wG[i] * a_L[r - half] % MOD
+                sR[i] = wH[i] * b_L[r - half] % MOD
+            else:
+                sL[i] = wH[i] * b_R[r] % MOD
+                sR[i] = wG[i] * a_R[r] % MOD
+        sL[n] = c_L
+        sR[n] = c_R
+        if use_native:
+            L = table.msm(sL, idxL)
+            R = table.msm(sR, idxR)
+        else:
+            L = _msm([Scalar(s) for s in sL], [all_pts[j] for j in idxL])
+            R = _msm([Scalar(s) for s in sR], [all_pts[j] for j in idxR])
+
+        L_vec.append(L)
+        R_vec.append(R)
+        transcript.append_point(b"L", L)
+        transcript.append_point(b"R", R)
+        u = int(transcript.challenge_scalar(b"u"))
+        u_inv = pow(u, -1, MOD)
+
+        if half > 1:  # coefficients are dead after the last round
+            for i in range(n):
+                if (i % cur) < half:
+                    wG[i] = wG[i] * u_inv % MOD
+                    wH[i] = wH[i] * u % MOD
+                else:
+                    wG[i] = wG[i] * u % MOD
+                    wH[i] = wH[i] * u_inv % MOD
+
+        av = [(al * u + u_inv * ar) % MOD for al, ar in zip(a_L, a_R)]
+        bv = [(bl * u_inv + u * br) % MOD for bl, br in zip(b_L, b_R)]
+        cur = half
+
+    return InnerProductProof(L_vec, R_vec, Scalar(av[0]), Scalar(bv[0]))
+
+
+_IPP_INDEX_CACHE: dict = {}
+
+
+def _ipp_round_indices(n: int, cur: int):
+    """(idxL, idxR) point-table indices for one IPP round; table layout is
+    [G_0..G_{n-1}, H_0..H_{n-1}, Q].  Cached: depends only on (n, cur)."""
+    import numpy as np
+
+    key = (n, cur)
+    hit = _IPP_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    half = cur // 2
+    idxL = np.empty(n + 1, dtype=np.uint32)
+    idxR = np.empty(n + 1, dtype=np.uint32)
+    for i in range(n):
+        if (i % cur) >= half:
+            idxL[i] = i          # G_i
+            idxR[i] = n + i      # H_i
+        else:
+            idxL[i] = n + i
+            idxR[i] = i
+    idxL[n] = 2 * n
+    idxR[n] = 2 * n
+    _IPP_INDEX_CACHE[key] = (idxL, idxR)
+    return idxL, idxR
+
+
+def _create_host_folding(transcript, Q, G_factors, H_factors, G, H, a, b):
     n = len(G)
     L_vec: list[StarkPoint] = []
     R_vec: list[StarkPoint] = []
@@ -257,6 +371,21 @@ def _create_host(transcript, Q, G_factors, H_factors, G, H, a, b):
 
         a = [al * u + u_inv * ar for al, ar in zip(a_L, a_R)]
         b = [bl * u_inv + u * br for bl, br in zip(b_L, b_R)]
+        from ..utils import native
+
+        if native.available() and n >= 4:
+            if first:
+                ul = [u_inv * gf for gf in G_factors[:n]]
+                ur = [u * gf for gf in G_factors[n : 2 * n]]
+                hl = [u * hf for hf in H_factors[:n]]
+                hr = [u_inv * hf for hf in H_factors[n : 2 * n]]
+                first = False
+            else:
+                ul, ur = [u_inv] * n, [u] * n
+                hl, hr = [u] * n, [u_inv] * n
+            G = native.fold_points(ul, ur, G_L, G_R)
+            H = native.fold_points(hl, hr, H_L, H_R)
+            continue
         if first:
             G = [
                 StarkPoint.msm(

@@ -190,6 +190,11 @@ class StarkPoint:
         n = len(scalars)
         if n == 0:
             return StarkPoint.identity()
+        if n >= 2:
+            from ..utils import native
+
+            if native.available():
+                return native.msm(scalars, points)
         if n <= 4:
             acc = StarkPoint.identity()
             for s, pt in zip(scalars, points):

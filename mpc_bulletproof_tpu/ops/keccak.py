@@ -68,7 +68,17 @@ _RATE = 136  # bytes; Keccak-256 rate
 
 
 def keccak256(data: bytes) -> bytes:
-    """Keccak-256 digest (original padding 0x01) of ``data``."""
+    """Keccak-256 digest (original padding 0x01) of ``data``.
+
+    Dispatches to the native core (utils/native.py) when built; the pure
+    Python path below is the reference implementation.
+    """
+    if _native_keccak is not None:
+        return _native_keccak(data)
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
     state = [0] * 25
     # Absorb with multi-rate padding 0x01 .. 0x80.
     padded = bytearray(data)
@@ -99,3 +109,21 @@ def pad_label(label: bytes) -> bytes:
     """
     rem = (-len(label)) % 32
     return label + b"\x00" * rem
+
+
+# Optional native backend (resolved lazily at import of this module's users).
+_native_keccak = None
+
+
+def _init_native():
+    global _native_keccak
+    try:
+        from ..utils import native as _native
+
+        if _native.available():
+            _native_keccak = _native.keccak256
+    except Exception:  # pragma: no cover - fallback to pure python
+        _native_keccak = None
+
+
+_init_native()

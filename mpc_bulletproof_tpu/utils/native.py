@@ -1,0 +1,199 @@
+"""ctypes bindings for the native host runtime (``native/bpcore.cpp``).
+
+Loads ``native/libbpcore.so`` when present (build with ``make -C native``)
+and exposes numpy-buffer wrappers for keccak256, Pippenger MSM, IPP point
+folds, fixed-base batches, and batch point addition.  All host layers
+dispatch here transparently when available; ``BP_NO_NATIVE=1`` disables.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("BP_NO_NATIVE"):
+        return None
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "libbpcore.so"
+    )
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.bp_keccak256.argtypes = [u8p, ctypes.c_size_t, u8p]
+    lib.bp_msm.argtypes = [u8p] * 4 + [ctypes.c_size_t] + [u8p] * 3
+    lib.bp_points_new.argtypes = [u8p, u8p, u8p, ctypes.c_size_t]
+    lib.bp_points_new.restype = ctypes.c_void_p
+    lib.bp_points_free.argtypes = [ctypes.c_void_p]
+    lib.bp_msm_indexed.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
+        u8p, u8p, u8p,
+    ]
+    lib.bp_fold_points.argtypes = [u8p] * 8 + [ctypes.c_size_t] + [u8p] * 3
+    lib.bp_fixed_base_mul.argtypes = [u8p, ctypes.c_size_t] + [u8p] * 5
+    lib.bp_point_add_batch.argtypes = [u8p] * 6 + [ctypes.c_size_t] + [u8p] * 3
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _buf(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def keccak256(data: bytes) -> bytes:
+    lib = _lib()
+    if lib is None:  # disabled after initial probe (e.g. BP_NO_NATIVE set later)
+        from ..ops.keccak import _keccak256_py
+
+        return _keccak256_py(data)
+    out = np.zeros(32, dtype=np.uint8)
+    raw = np.frombuffer(bytes(data), dtype=np.uint8) if data else np.zeros(0, dtype=np.uint8)
+    lib.bp_keccak256(_buf(raw), len(data), _buf(out))
+    return out.tobytes()
+
+
+def _pack_scalars(scalars) -> np.ndarray:
+    out = np.zeros((len(scalars), 32), dtype=np.uint8)
+    for i, s in enumerate(scalars):
+        out[i] = np.frombuffer(int(s).to_bytes(32, "little"), dtype=np.uint8)
+    return out
+
+
+def _pack_points(points):
+    n = len(points)
+    xs = np.zeros((n, 32), dtype=np.uint8)
+    ys = np.zeros((n, 32), dtype=np.uint8)
+    inf = np.zeros(n, dtype=np.uint8)
+    for i, p in enumerate(points):
+        if p.is_identity():
+            inf[i] = 1
+        else:
+            xs[i] = np.frombuffer(p.x.to_bytes(32, "little"), dtype=np.uint8)
+            ys[i] = np.frombuffer(p.y.to_bytes(32, "little"), dtype=np.uint8)
+    return xs, ys, inf
+
+
+def _unpack_points(xs, ys, inf):
+    from ..ops.curve import StarkPoint
+
+    out = []
+    for i in range(len(inf)):
+        if inf[i]:
+            out.append(StarkPoint.identity())
+        else:
+            out.append(
+                StarkPoint(
+                    int.from_bytes(xs[i].tobytes(), "little"),
+                    int.from_bytes(ys[i].tobytes(), "little"),
+                )
+            )
+    return out
+
+
+def msm(scalars, points):
+    """Native Pippenger MSM over host Scalars/StarkPoints."""
+    lib = _lib()
+    s = _pack_scalars(scalars)
+    xs, ys, inf = _pack_points(points)
+    ox = np.zeros(32, dtype=np.uint8)
+    oy = np.zeros(32, dtype=np.uint8)
+    oi = np.zeros(1, dtype=np.uint8)
+    lib.bp_msm(_buf(s), _buf(xs), _buf(ys), _buf(inf), len(points),
+               _buf(ox), _buf(oy), _buf(oi))
+    return _unpack_points(ox[None], oy[None], oi)[0]
+
+
+def fold_points(ul, ur, left, right):
+    """out_i = ul_i * left_i + ur_i * right_i (per-element scalars)."""
+    lib = _lib()
+    n = len(left)
+    sul = _pack_scalars(ul)
+    sur = _pack_scalars(ur)
+    xl, yl, il = _pack_points(left)
+    xr, yr, ir = _pack_points(right)
+    ox = np.zeros((n, 32), dtype=np.uint8)
+    oy = np.zeros((n, 32), dtype=np.uint8)
+    oi = np.zeros(n, dtype=np.uint8)
+    lib.bp_fold_points(_buf(sul), _buf(sur), _buf(xl), _buf(yl), _buf(il),
+                       _buf(xr), _buf(yr), _buf(ir), n,
+                       _buf(ox), _buf(oy), _buf(oi))
+    return _unpack_points(ox, oy, oi)
+
+
+def fixed_base_mul(scalars, base):
+    """out_i = scalar_i * base (shared base, e.g. generator chains)."""
+    lib = _lib()
+    n = len(scalars)
+    s = _pack_scalars(scalars)
+    bx = np.frombuffer(base.x.to_bytes(32, "little"), dtype=np.uint8).copy()
+    by = np.frombuffer(base.y.to_bytes(32, "little"), dtype=np.uint8).copy()
+    ox = np.zeros((n, 32), dtype=np.uint8)
+    oy = np.zeros((n, 32), dtype=np.uint8)
+    oi = np.zeros(n, dtype=np.uint8)
+    lib.bp_fixed_base_mul(_buf(s), n, _buf(bx), _buf(by),
+                          _buf(ox), _buf(oy), _buf(oi))
+    return _unpack_points(ox, oy, oi)
+
+
+def point_add_batch(a_points, b_points):
+    lib = _lib()
+    n = len(a_points)
+    xa, ya, ia = _pack_points(a_points)
+    xb, yb, ib = _pack_points(b_points)
+    ox = np.zeros((n, 32), dtype=np.uint8)
+    oy = np.zeros((n, 32), dtype=np.uint8)
+    oi = np.zeros(n, dtype=np.uint8)
+    lib.bp_point_add_batch(_buf(xa), _buf(ya), _buf(ia), _buf(xb), _buf(yb), _buf(ib),
+                           n, _buf(ox), _buf(oy), _buf(oi))
+    return _unpack_points(ox, oy, oi)
+
+
+class PointTable:
+    """A point set registered with the native core for repeated indexed MSMs
+    (e.g. the fixed G/H generator vectors of an IPP: pack and convert to
+    Montgomery form once, select per round by index)."""
+
+    def __init__(self, points):
+        lib = _lib()
+        xs, ys, inf = _pack_points(points)
+        self._handle = lib.bp_points_new(_buf(xs), _buf(ys), _buf(inf), len(points))
+        self._lib = lib
+        self.n = len(points)
+
+    def msm(self, scalars, indices: np.ndarray):
+        """MSM of ``scalars[i] * table[indices[i]]``."""
+        idx = np.ascontiguousarray(indices, dtype=np.uint32)
+        s = _pack_scalars(scalars)
+        ox = np.zeros(32, dtype=np.uint8)
+        oy = np.zeros(32, dtype=np.uint8)
+        oi = np.zeros(1, dtype=np.uint8)
+        self._lib.bp_msm_indexed(
+            self._handle, _buf(s),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(idx),
+            _buf(ox), _buf(oy), _buf(oi),
+        )
+        return _unpack_points(ox[None], oy[None], oi)[0]
+
+    def __del__(self):
+        try:
+            self._lib.bp_points_free(self._handle)
+        except Exception:
+            pass

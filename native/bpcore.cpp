@@ -1,0 +1,585 @@
+// bpcore: native host runtime for mpc-bulletproof-tpu.
+//
+// The reference's performance-critical host components live in native Rust
+// crates (mpc-stark algebra, merlin keccak — SURVEY.md §2.4).  This C++
+// library is their counterpart for the host side of this framework: STARK
+// base-field Montgomery arithmetic, Jacobian curve arithmetic, Pippenger
+// MSM, IPP generator folds, fixed-base generator derivation, and keccak256.
+// The TPU kernels remain the primary compute path; this backend accelerates
+// host-resident work (transcript hashing, generator setup, and the host
+// fallback prover) ~100x over pure Python.
+//
+// ABI: all field elements cross the boundary as 32-byte little-endian
+// buffers; points as (x, y, infinity_flag).  Build: `make -C native`.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <thread>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+typedef uint8_t u8;
+typedef uint32_t u32;
+
+// ---------------------------------------------------------------------------
+// 4x64 field element, Montgomery form, modulus = STARK prime P
+// ---------------------------------------------------------------------------
+
+struct Fp { u64 v[4]; };
+
+static const Fp P_MOD   = {{0x1ULL, 0x0ULL, 0x0ULL, 0x0800000000000011ULL}};
+static const u64 P_INV  = 0xffffffffffffffffULL;  // -P^{-1} mod 2^64
+static const Fp P_R2    = {{0xfffffd737e000401ULL, 0x1330fffffULL,
+                            0xffffffffff6f8000ULL, 0x07ffd4ab5e008810ULL}};
+static const Fp FP_ONE  = {{0xffffffffffffffe1ULL, 0xffffffffffffffffULL,
+                            0xffffffffffffffffULL, 0x07fffffffffffdf0ULL}};
+static const Fp FP_ZERO = {{0, 0, 0, 0}};
+// curve b (Montgomery form); a = 1 (Montgomery form == FP_ONE)
+static const Fp B_MONT  = {{0x359ddd67b59a21caULL, 0x6725f2237aab9006ULL,
+                            0xab8a1e002a41f947ULL, 0x013931651774247fULL}};
+
+static inline bool fp_is_zero(const Fp &a) {
+    return (a.v[0] | a.v[1] | a.v[2] | a.v[3]) == 0;
+}
+
+static inline bool fp_eq(const Fp &a, const Fp &b) {
+    return a.v[0] == b.v[0] && a.v[1] == b.v[1] && a.v[2] == b.v[2] && a.v[3] == b.v[3];
+}
+
+static inline bool geq_mod(const Fp &a, const Fp &m) {
+    for (int i = 3; i >= 0; --i) {
+        if (a.v[i] > m.v[i]) return true;
+        if (a.v[i] < m.v[i]) return false;
+    }
+    return true;
+}
+
+static inline void sub_mod_raw(Fp &a, const Fp &m) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a.v[i] - m.v[i] - borrow;
+        a.v[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+static inline void fp_add(Fp &out, const Fp &a, const Fp &b) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 s = (u128)a.v[i] + b.v[i] + carry;
+        out.v[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || geq_mod(out, P_MOD)) sub_mod_raw(out, P_MOD);
+}
+
+static inline void fp_sub(Fp &out, const Fp &a, const Fp &b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a.v[i] - b.v[i] - borrow;
+        out.v[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; ++i) {
+            u128 s = (u128)out.v[i] + P_MOD.v[i] + carry;
+            out.v[i] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+}
+
+// Montgomery multiplication (CIOS, 4 limbs).
+static void fp_mul(Fp &out, const Fp &a, const Fp &b) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; ++i) {
+        u128 carry = 0;
+        for (int j = 0; j < 4; ++j) {
+            u128 cur = (u128)t[j] + (u128)a.v[i] * b.v[j] + carry;
+            t[j] = (u64)cur;
+            carry = cur >> 64;
+        }
+        u128 cur = (u128)t[4] + carry;
+        t[4] = (u64)cur;
+        t[5] = (u64)(cur >> 64);
+
+        u64 m = t[0] * P_INV;
+        carry = ((u128)t[0] + (u128)m * P_MOD.v[0]) >> 64;
+        for (int j = 1; j < 4; ++j) {
+            u128 c2 = (u128)t[j] + (u128)m * P_MOD.v[j] + carry;
+            t[j - 1] = (u64)c2;
+            carry = c2 >> 64;
+        }
+        cur = (u128)t[4] + carry;
+        t[3] = (u64)cur;
+        t[4] = t[5] + (u64)(cur >> 64);
+        t[5] = 0;
+    }
+    out.v[0] = t[0]; out.v[1] = t[1]; out.v[2] = t[2]; out.v[3] = t[3];
+    if (t[4] || geq_mod(out, P_MOD)) sub_mod_raw(out, P_MOD);
+}
+
+static inline void fp_sqr(Fp &out, const Fp &a) { fp_mul(out, a, a); }
+
+static inline void fp_dbl(Fp &out, const Fp &a) { fp_add(out, a, a); }
+
+static void fp_from_bytes(Fp &out, const u8 *le32) {
+    Fp raw;
+    memcpy(raw.v, le32, 32);
+    fp_mul(out, raw, P_R2);  // into Montgomery form
+}
+
+static void fp_to_bytes(u8 *le32, const Fp &a) {
+    Fp one_raw = {{1, 0, 0, 0}};
+    Fp std_form;
+    fp_mul(std_form, a, one_raw);  // out of Montgomery form
+    memcpy(le32, std_form.v, 32);
+}
+
+// a^(P-2) by square-and-multiply (exponent scanned from raw P-2 bytes).
+static void fp_inv(Fp &out, const Fp &a) {
+    // P - 2
+    static const u64 e[4] = {0xffffffffffffffffULL, 0xffffffffffffffffULL,
+                             0xffffffffffffffffULL, 0x0800000000000010ULL};
+    Fp result = FP_ONE, base = a;
+    for (int limb = 0; limb < 4; ++limb) {
+        u64 bits = e[limb];
+        for (int i = 0; i < 64; ++i) {
+            if (bits & 1) { Fp tmp; fp_mul(tmp, result, base); result = tmp; }
+            bits >>= 1;
+            if (limb == 3 && bits == 0) break;
+            Fp sq; fp_sqr(sq, base); base = sq;
+        }
+    }
+    out = result;
+}
+
+// ---------------------------------------------------------------------------
+// Jacobian curve arithmetic: y^2 = x^3 + a x + b, a = 1
+// ---------------------------------------------------------------------------
+
+struct Pt { Fp X, Y, Z; };  // Z == 0 -> identity
+
+static const Pt PT_IDENT = {{{0, 0, 0, 0}}, {{0, 0, 0, 0}}, {{0, 0, 0, 0}}};
+
+static inline bool pt_is_ident(const Pt &p) { return fp_is_zero(p.Z); }
+
+static void pt_dbl(Pt &out, const Pt &p) {
+    if (pt_is_ident(p) || fp_is_zero(p.Y)) { out = PT_IDENT; return; }
+    Fp XX, YY, YYYY, ZZ, S, M, T, t0, t1;
+    fp_sqr(XX, p.X);
+    fp_sqr(YY, p.Y);
+    fp_sqr(YYYY, YY);
+    fp_sqr(ZZ, p.Z);
+    // S = 2*((X+YY)^2 - XX - YYYY)
+    fp_add(t0, p.X, YY); fp_sqr(t0, t0); fp_sub(t0, t0, XX); fp_sub(t0, t0, YYYY);
+    fp_dbl(S, t0);
+    // M = 3*XX + a*ZZ^2  (a = 1)
+    fp_dbl(t0, XX); fp_add(t0, t0, XX);
+    fp_sqr(t1, ZZ); fp_mul(t1, t1, FP_ONE);
+    fp_add(M, t0, t1);
+    // T = M^2 - 2S
+    fp_sqr(T, M); fp_sub(T, T, S); fp_sub(T, T, S);
+    out.X = T;
+    // Y3 = M*(S - T) - 8*YYYY
+    fp_sub(t0, S, T); fp_mul(t0, M, t0);
+    fp_dbl(t1, YYYY); fp_dbl(t1, t1); fp_dbl(t1, t1);
+    fp_sub(out.Y, t0, t1);
+    // Z3 = (Y + Z)^2 - YY - ZZ
+    fp_add(t0, p.Y, p.Z); fp_sqr(t0, t0); fp_sub(t0, t0, YY); fp_sub(out.Z, t0, ZZ);
+}
+
+static void pt_add(Pt &out, const Pt &p, const Pt &q) {
+    if (pt_is_ident(p)) { out = q; return; }
+    if (pt_is_ident(q)) { out = p; return; }
+    Fp Z1Z1, Z2Z2, U1, U2, S1, S2, t0;
+    fp_sqr(Z1Z1, p.Z);
+    fp_sqr(Z2Z2, q.Z);
+    fp_mul(U1, p.X, Z2Z2);
+    fp_mul(U2, q.X, Z1Z1);
+    fp_mul(t0, p.Y, q.Z); fp_mul(S1, t0, Z2Z2);
+    fp_mul(t0, q.Y, p.Z); fp_mul(S2, t0, Z1Z1);
+    if (fp_eq(U1, U2)) {
+        if (!fp_eq(S1, S2)) { out = PT_IDENT; return; }
+        pt_dbl(out, p);
+        return;
+    }
+    Fp H, I, J, rr, V, t1;
+    fp_sub(H, U2, U1);
+    fp_dbl(I, H); fp_sqr(I, I);
+    fp_mul(J, H, I);
+    fp_sub(rr, S2, S1); fp_dbl(rr, rr);
+    fp_mul(V, U1, I);
+    // X3 = rr^2 - J - 2V
+    fp_sqr(t0, rr); fp_sub(t0, t0, J); fp_sub(t0, t0, V); fp_sub(out.X, t0, V);
+    // Y3 = rr*(V - X3) - 2*S1*J
+    fp_sub(t0, V, out.X); fp_mul(t0, rr, t0);
+    fp_mul(t1, S1, J); fp_dbl(t1, t1);
+    fp_sub(out.Y, t0, t1);
+    // Z3 = ((Z1 + Z2)^2 - Z1Z1 - Z2Z2) * H
+    fp_add(t0, p.Z, q.Z); fp_sqr(t0, t0); fp_sub(t0, t0, Z1Z1); fp_sub(t0, t0, Z2Z2);
+    fp_mul(out.Z, t0, H);
+}
+
+// Mixed addition: q is affine (implicit Z = 1, in Montgomery form).
+static void pt_add_mixed(Pt &out, const Pt &p, const Fp &qx, const Fp &qy) {
+    if (pt_is_ident(p)) { out.X = qx; out.Y = qy; out.Z = FP_ONE; return; }
+    Fp Z1Z1, U2, S2, t0;
+    fp_sqr(Z1Z1, p.Z);
+    fp_mul(U2, qx, Z1Z1);
+    fp_mul(t0, qy, p.Z); fp_mul(S2, t0, Z1Z1);
+    if (fp_eq(p.X, U2)) {
+        if (!fp_eq(p.Y, S2)) { out = PT_IDENT; return; }
+        pt_dbl(out, p);
+        return;
+    }
+    // madd-2007-bl
+    Fp H, HH, I, J, rr, V, t1;
+    fp_sub(H, U2, p.X);
+    fp_sqr(HH, H);
+    fp_dbl(I, HH); fp_dbl(I, I);
+    fp_mul(J, H, I);
+    fp_sub(rr, S2, p.Y); fp_dbl(rr, rr);
+    fp_mul(V, p.X, I);
+    fp_sqr(t0, rr); fp_sub(t0, t0, J); fp_sub(t0, t0, V); fp_sub(out.X, t0, V);
+    fp_sub(t0, V, out.X); fp_mul(t0, rr, t0);
+    fp_mul(t1, p.Y, J); fp_dbl(t1, t1);
+    fp_sub(out.Y, t0, t1);
+    fp_add(t0, p.Z, H); fp_sqr(t0, t0); fp_sub(t0, t0, Z1Z1); fp_sub(out.Z, t0, HH);
+}
+
+static inline void pt_neg(Pt &out, const Pt &p) {
+    out = p;
+    if (!pt_is_ident(p)) fp_sub(out.Y, FP_ZERO, p.Y);
+}
+
+static void pt_from_affine(Pt &out, const u8 *x_le, const u8 *y_le, u8 inf) {
+    if (inf) { out = PT_IDENT; return; }
+    fp_from_bytes(out.X, x_le);
+    fp_from_bytes(out.Y, y_le);
+    out.Z = FP_ONE;
+}
+
+static void pt_to_affine(u8 *x_le, u8 *y_le, u8 *inf, const Pt &p) {
+    if (pt_is_ident(p)) {
+        memset(x_le, 0, 32); memset(y_le, 0, 32); *inf = 1;
+        return;
+    }
+    Fp zinv, zinv2, zinv3, xa, ya;
+    fp_inv(zinv, p.Z);
+    fp_sqr(zinv2, zinv);
+    fp_mul(zinv3, zinv2, zinv);
+    fp_mul(xa, p.X, zinv2);
+    fp_mul(ya, p.Y, zinv3);
+    fp_to_bytes(x_le, xa);
+    fp_to_bytes(y_le, ya);
+    *inf = 0;
+}
+
+// Batch affine conversion with one inversion (Montgomery's trick).
+static void pt_to_affine_batch(u8 *xs, u8 *ys, u8 *inf, const Pt *pts, size_t n) {
+    std::vector<Fp> prefix(n);
+    Fp acc = FP_ONE;
+    for (size_t i = 0; i < n; ++i) {
+        prefix[i] = acc;
+        if (!pt_is_ident(pts[i])) { Fp t; fp_mul(t, acc, pts[i].Z); acc = t; }
+    }
+    Fp inv_acc;
+    fp_inv(inv_acc, acc);
+    for (size_t idx = n; idx-- > 0;) {
+        if (pt_is_ident(pts[idx])) {
+            memset(xs + 32 * idx, 0, 32); memset(ys + 32 * idx, 0, 32); inf[idx] = 1;
+            continue;
+        }
+        Fp zinv, t;
+        fp_mul(zinv, inv_acc, prefix[idx]);
+        fp_mul(t, inv_acc, pts[idx].Z); inv_acc = t;
+        Fp zinv2, zinv3, xa, ya;
+        fp_sqr(zinv2, zinv); fp_mul(zinv3, zinv2, zinv);
+        fp_mul(xa, pts[idx].X, zinv2);
+        fp_mul(ya, pts[idx].Y, zinv3);
+        fp_to_bytes(xs + 32 * idx, xa);
+        fp_to_bytes(ys + 32 * idx, ya);
+        inf[idx] = 0;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// scalar helpers (raw 256-bit little-endian, no field ops needed)
+// ---------------------------------------------------------------------------
+
+static inline int scalar_bit(const u8 *s, int bit) {
+    return (s[bit >> 3] >> (bit & 7)) & 1;
+}
+
+static inline u64 scalar_window(const u8 *s, int start_bit, int width) {
+    // width <= 16; gather bits [start_bit, start_bit+width)
+    u64 out = 0;
+    for (int i = 0; i < width; ++i) {
+        int b = start_bit + i;
+        if (b < 256) out |= (u64)scalar_bit(s, b) << i;
+    }
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// exported API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// ---- keccak256 (original padding 0x01) ----
+static const u64 KECCAK_RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+static const int KECCAK_ROT[5][5] = {
+    {0, 36, 3, 41, 18}, {1, 44, 10, 45, 2}, {62, 6, 43, 15, 61},
+    {28, 55, 25, 21, 56}, {27, 20, 39, 8, 14},
+};
+
+static inline u64 rol64(u64 x, int s) { return s ? (x << s) | (x >> (64 - s)) : x; }
+
+static void keccak_f(u64 st[25]) {
+    for (int round = 0; round < 24; ++round) {
+        u64 c[5], d[5], b[25];
+        for (int x = 0; x < 5; ++x)
+            c[x] = st[x] ^ st[x + 5] ^ st[x + 10] ^ st[x + 15] ^ st[x + 20];
+        for (int x = 0; x < 5; ++x)
+            d[x] = c[(x + 4) % 5] ^ rol64(c[(x + 1) % 5], 1);
+        for (int i = 0; i < 25; ++i) st[i] ^= d[i % 5];
+        for (int x = 0; x < 5; ++x)
+            for (int y = 0; y < 5; ++y)
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = rol64(st[x + 5 * y], KECCAK_ROT[x][y]);
+        for (int i = 0; i < 25; ++i) {
+            int x = i % 5, y = i / 5;
+            st[i] = b[i] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]);
+        }
+        st[0] ^= KECCAK_RC[round];
+    }
+}
+
+void bp_keccak256(const u8 *data, size_t len, u8 out[32]) {
+    u64 st[25] = {0};
+    const size_t rate = 136;
+    size_t off = 0;
+    while (len - off >= rate) {
+        for (size_t i = 0; i < rate / 8; ++i) {
+            u64 w; memcpy(&w, data + off + 8 * i, 8);
+            st[i] ^= w;
+        }
+        keccak_f(st);
+        off += rate;
+    }
+    u8 block[136] = {0};
+    memcpy(block, data + off, len - off);
+    block[len - off] ^= 0x01;
+    block[rate - 1] ^= 0x80;
+    for (size_t i = 0; i < rate / 8; ++i) {
+        u64 w; memcpy(&w, block + 8 * i, 8);
+        st[i] ^= w;
+    }
+    keccak_f(st);
+    memcpy(out, st, 32);
+}
+
+// ---- Pippenger MSM (mixed bucket adds, threaded windows) ----
+
+struct AffinePt { Fp x, y; u8 inf; };
+
+static int msm_pick_c(size_t n) {
+    int c = 4;
+    double best = 1e300;
+    for (int cc = 2; cc <= 14; ++cc) {
+        double windows = (252.0 + cc - 1) / cc;
+        double cost = windows * ((double)n + 2.0 * (double)((u64)1 << cc));
+        if (cost < best) { best = cost; c = cc; }
+    }
+    return c;
+}
+
+static void msm_window_range(const u8 *scalars, const u32 *indices,
+                             const std::vector<AffinePt> &pts, size_t k,
+                             int c, int w_begin, int w_end, Pt *window_out) {
+    size_t nbuckets = ((size_t)1 << c) - 1;
+    std::vector<Pt> buckets(nbuckets);
+    for (int w = w_begin; w < w_end; ++w) {
+        for (size_t b = 0; b < nbuckets; ++b) buckets[b] = PT_IDENT;
+        for (size_t i = 0; i < k; ++i) {
+            u64 digit = scalar_window(scalars + 32 * i, w * c, c);
+            if (!digit) continue;
+            const AffinePt &ap = pts[indices ? indices[i] : i];
+            if (ap.inf) continue;
+            Pt t;
+            pt_add_mixed(t, buckets[digit - 1], ap.x, ap.y);
+            buckets[digit - 1] = t;
+        }
+        Pt running = PT_IDENT, total = PT_IDENT;
+        for (size_t b = nbuckets; b-- > 0;) {
+            Pt t;
+            pt_add(t, running, buckets[b]); running = t;
+            pt_add(t, total, running); total = t;
+        }
+        window_out[w] = total;
+    }
+}
+
+static void msm_run(const u8 *scalars, const u32 *indices,
+                    const std::vector<AffinePt> &pts, size_t k,
+                    u8 *out_x, u8 *out_y, u8 *out_inf) {
+    if (k == 0) { memset(out_x, 0, 32); memset(out_y, 0, 32); *out_inf = 1; return; }
+    int c = msm_pick_c(k);
+    int windows = (252 + c - 1) / c;
+    std::vector<Pt> window_sums(windows);
+
+    unsigned hw = std::thread::hardware_concurrency();
+    int nthreads = (int)(hw ? hw : 1);
+    if (nthreads > windows) nthreads = windows;
+    if (k < 64) nthreads = 1;
+    if (nthreads <= 1) {
+        msm_window_range(scalars, indices, pts, k, c, 0, windows, window_sums.data());
+    } else {
+        std::vector<std::thread> threads;
+        int per = (windows + nthreads - 1) / nthreads;
+        for (int t = 0; t < nthreads; ++t) {
+            int b = t * per, e = b + per;
+            if (e > windows) e = windows;
+            if (b >= e) break;
+            threads.emplace_back(msm_window_range, scalars, indices, std::cref(pts),
+                                 k, c, b, e, window_sums.data());
+        }
+        for (auto &th : threads) th.join();
+    }
+
+    Pt result = PT_IDENT;
+    for (int w = windows - 1; w >= 0; --w) {
+        for (int i = 0; i < c; ++i) { Pt t; pt_dbl(t, result); result = t; }
+        Pt t; pt_add(t, result, window_sums[w]); result = t;
+    }
+    pt_to_affine(out_x, out_y, out_inf, result);
+}
+
+static std::vector<AffinePt> load_affine(const u8 *xs, const u8 *ys,
+                                         const u8 *inf, size_t n) {
+    std::vector<AffinePt> pts(n);
+    for (size_t i = 0; i < n; ++i) {
+        pts[i].inf = inf[i];
+        if (!inf[i]) {
+            fp_from_bytes(pts[i].x, xs + 32 * i);
+            fp_from_bytes(pts[i].y, ys + 32 * i);
+        }
+    }
+    return pts;
+}
+
+void bp_msm(const u8 *scalars, const u8 *xs, const u8 *ys, const u8 *inf,
+            size_t n, u8 *out_x, u8 *out_y, u8 *out_inf) {
+    std::vector<AffinePt> pts = load_affine(xs, ys, inf, n);
+    msm_run(scalars, nullptr, pts, n, out_x, out_y, out_inf);
+}
+
+// Indexed MSM over a pre-registered point table (see bp_points_new).
+struct PointTable { std::vector<AffinePt> pts; };
+
+void *bp_points_new(const u8 *xs, const u8 *ys, const u8 *inf, size_t n) {
+    PointTable *t = new PointTable();
+    t->pts = load_affine(xs, ys, inf, n);
+    return t;
+}
+
+void bp_points_free(void *table) { delete (PointTable *)table; }
+
+void bp_msm_indexed(void *table, const u8 *scalars, const u32 *indices, size_t k,
+                    u8 *out_x, u8 *out_y, u8 *out_inf) {
+    PointTable *t = (PointTable *)table;
+    msm_run(scalars, indices, t->pts, k, out_x, out_y, out_inf);
+}
+
+// ---- per-element double-scalar fold: out_i = ul_i * L_i + ur_i * R_i ----
+// (w-NAF-free simple 4-bit windowed Straus per element; scalars vary per
+//  element to cover the IPP first-round factor folding)
+void bp_fold_points(const u8 *ul, const u8 *ur,
+                    const u8 *xl, const u8 *yl, const u8 *il,
+                    const u8 *xr, const u8 *yr, const u8 *ir,
+                    size_t n, u8 *out_x, u8 *out_y, u8 *out_inf) {
+    std::vector<Pt> results(n);
+    Pt tableL[16], tableR[16];
+    for (size_t i = 0; i < n; ++i) {
+        Pt L, Rp;
+        pt_from_affine(L, xl + 32 * i, yl + 32 * i, il[i]);
+        pt_from_affine(Rp, xr + 32 * i, yr + 32 * i, ir[i]);
+        tableL[0] = PT_IDENT; tableR[0] = PT_IDENT;
+        tableL[1] = L;        tableR[1] = Rp;
+        for (int j = 2; j < 16; ++j) {
+            pt_add(tableL[j], tableL[j - 1], L);
+            pt_add(tableR[j], tableR[j - 1], Rp);
+        }
+        const u8 *sl = ul + 32 * i;
+        const u8 *sr = ur + 32 * i;
+        Pt acc = PT_IDENT;
+        for (int w = 63; w >= 0; --w) {
+            if (w != 63) {
+                Pt t;
+                pt_dbl(t, acc); pt_dbl(acc, t); pt_dbl(t, acc); pt_dbl(acc, t);
+            }
+            u64 dl = scalar_window(sl, w * 4, 4);
+            u64 dr = scalar_window(sr, w * 4, 4);
+            if (dl) { Pt t; pt_add(t, acc, tableL[dl]); acc = t; }
+            if (dr) { Pt t; pt_add(t, acc, tableR[dr]); acc = t; }
+        }
+        results[i] = acc;
+    }
+    pt_to_affine_batch(out_x, out_y, out_inf, results.data(), n);
+}
+
+// ---- batch fixed-base: out_i = scalar_i * G (generator derivation) ----
+void bp_fixed_base_mul(const u8 *scalars, size_t n,
+                       const u8 *base_x, const u8 *base_y,
+                       u8 *out_x, u8 *out_y, u8 *out_inf) {
+    Pt base;
+    pt_from_affine(base, base_x, base_y, 0);
+    // 4-bit window table of the shared base.
+    Pt table[16];
+    table[0] = PT_IDENT; table[1] = base;
+    for (int j = 2; j < 16; ++j) pt_add(table[j], table[j - 1], base);
+    std::vector<Pt> results(n);
+    for (size_t i = 0; i < n; ++i) {
+        const u8 *s = scalars + 32 * i;
+        Pt acc = PT_IDENT;
+        for (int w = 63; w >= 0; --w) {
+            if (w != 63) {
+                Pt t;
+                pt_dbl(t, acc); pt_dbl(acc, t); pt_dbl(t, acc); pt_dbl(acc, t);
+            }
+            u64 d = scalar_window(s, w * 4, 4);
+            if (d) { Pt t; pt_add(t, acc, table[d]); acc = t; }
+        }
+        results[i] = acc;
+    }
+    pt_to_affine_batch(out_x, out_y, out_inf, results.data(), n);
+}
+
+// ---- batch pairwise add: out_i = A_i + B_i ----
+void bp_point_add_batch(const u8 *xa, const u8 *ya, const u8 *ia,
+                        const u8 *xb, const u8 *yb, const u8 *ib,
+                        size_t n, u8 *out_x, u8 *out_y, u8 *out_inf) {
+    std::vector<Pt> results(n);
+    for (size_t i = 0; i < n; ++i) {
+        Pt A, B;
+        pt_from_affine(A, xa + 32 * i, ya + 32 * i, ia[i]);
+        pt_from_affine(B, xb + 32 * i, yb + 32 * i, ib[i]);
+        pt_add(results[i], A, B);
+    }
+    pt_to_affine_batch(out_x, out_y, out_inf, results.data(), n);
+}
+
+}  // extern "C"
