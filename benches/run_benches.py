@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Benchmark suite sweeping the reference's criterion configs (SURVEY.md §6):
+
+* inner-product prover, n = 2^1 .. 2^K           (benches/inner_product.rs)
+* R1CS prover/verifier, squaring-chain circuit,
+  n = 2^1 .. 2^10 multiplication gates           (benches/r1cs.rs)
+* k-shuffle prove/verify, k = 2 .. 2^10          (benches/shuffle.rs)
+* generator setup, sizes 2 .. 1024               (benches/generators.rs)
+* single + aggregated 64-bit range proofs        (BASELINE.md north star)
+
+Prints a markdown table; writes JSON results next to this file.
+
+    python benches/run_benches.py [--max-ipp 12] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mpc_bulletproof_tpu import (
+    BulletproofGens,
+    HashChainTranscript,
+    PedersenGens,
+    Scalar,
+    StarkPoint,
+)
+from mpc_bulletproof_tpu.models.inner_product import InnerProductProof
+from mpc_bulletproof_tpu.models.r1cs import Prover, Verifier
+from mpc_bulletproof_tpu.models.r1cs.gadgets import shuffle_gadget
+from mpc_bulletproof_tpu.models.range_proof import RangeProof
+from mpc_bulletproof_tpu.ops.field import scalar_powers
+
+rng = random.Random(0xBE7C4)
+PC = PedersenGens()
+
+RESULTS = []
+
+
+def record(group, config, seconds, extra=None):
+    RESULTS.append(
+        {"group": group, "config": config, "ms": round(seconds * 1e3, 3), **(extra or {})}
+    )
+    print(f"| {group} | {config} | {seconds * 1e3:10.2f} ms |", flush=True)
+
+
+def timeit(fn, reps=3):
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def rand_scalar():
+    return Scalar(rng.getrandbits(260))
+
+
+# ---------------------------------------------------------------------------
+
+def bench_ipp(max_ln, reps):
+    n_max = 1 << max_ln
+    gens = BulletproofGens(n_max, 1)
+    for ln in range(1, max_ln + 1):
+        n = 1 << ln
+        G = gens.share(0).G(n)
+        H = gens.share(0).H(n)
+        Q = StarkPoint.random()
+        Gf = [Scalar(1)] * n
+        Hf = scalar_powers(rand_scalar(), n)
+        a = [rand_scalar() for _ in range(n)]
+        b = [rand_scalar() for _ in range(n)]
+
+        def prove():
+            t = HashChainTranscript(b"bench-ipp")
+            InnerProductProof.create(t, Q, Gf, Hf, list(G), list(H), list(a), list(b))
+
+        record("ipp-prover", f"n=2^{ln}", timeit(prove, reps))
+
+
+def _squaring_chain(cs, n_constraints, value):
+    var = cs.commit_public(value)
+    for _ in range(n_constraints):
+        _, _, var = cs.multiply(var.to_lc(), var.to_lc())
+
+
+def bench_r1cs(max_ln, reps):
+    gens = BulletproofGens(1 << max_ln, 1)
+    for ln in range(1, max_ln + 1):
+        n = 1 << ln
+        val = rand_scalar()
+
+        def prove():
+            t = HashChainTranscript(b"bench-r1cs")
+            prover = Prover(PC, t)
+            _squaring_chain(prover, n, val)
+            return prover.prove(gens)
+
+        record("r1cs-prover", f"n=2^{ln}", timeit(prove, reps))
+
+        proof = prove()
+
+        def verify():
+            t = HashChainTranscript(b"bench-r1cs")
+            verifier = Verifier(PC, t)
+            _squaring_chain(verifier, n, val)
+            verifier.verify(proof, gens)
+
+        record("r1cs-verifier", f"n=2^{ln}", timeit(verify, reps))
+
+
+def bench_shuffle(max_k_ln, reps):
+    gens = BulletproofGens(1 << (max_k_ln + 2), 1)
+    for ln in range(1, max_k_ln + 1):
+        k = 1 << ln
+        inputs = [rand_scalar() for _ in range(k)]
+        outputs = list(inputs)
+        rng.shuffle(outputs)
+
+        def prove():
+            t = HashChainTranscript(b"bench-shuffle")
+            prover = Prover(PC, t)
+            iv = [prover.commit(v, rand_scalar())[1] for v in inputs]
+            ov = [prover.commit(v, rand_scalar())[1] for v in outputs]
+            shuffle_gadget(prover, iv, ov)
+            prover.prove(gens)
+
+        record("shuffle-prover", f"k=2^{ln}", timeit(prove, reps))
+
+
+def bench_generators(reps):
+    for size in (2, 8, 64, 256, 1024):
+        record(
+            "generators",
+            f"BulletproofGens::new({size},1)",
+            timeit(lambda: BulletproofGens(size, 1), reps),
+        )
+
+
+def bench_rangeproof(reps):
+    gens = BulletproofGens(64, 64)
+    # single 32-bit (README doctest config)
+    def single32():
+        t = HashChainTranscript(b"bench-rp")
+        RangeProof.prove_single(gens, PC, t, 1037578891, rand_scalar(), 32)
+
+    record("rangeproof-prove", "single n=32", timeit(single32, reps))
+
+    for m in (1, 4, 16, 64):
+        values = [rng.randrange(0, 1 << 64) for _ in range(m)]
+        blinds = [rand_scalar() for _ in range(m)]
+
+        def prove():
+            t = HashChainTranscript(b"bench-rp-agg")
+            return RangeProof.prove_multiple(gens, PC, t, values, blinds, 64)
+
+        dt = timeit(prove, reps)
+        record(
+            "rangeproof-prove", f"n=64 m={m}", dt,
+            {"us_per_proof": round(dt / m * 1e6, 1)},
+        )
+        proof, comms = prove()
+
+        def verify():
+            t = HashChainTranscript(b"bench-rp-agg")
+            proof.verify_multiple(gens, PC, t, comms, 64)
+
+        dt = timeit(verify, reps)
+        record(
+            "rangeproof-verify", f"n=64 m={m}", dt,
+            {"us_per_proof": round(dt / m * 1e6, 1)},
+        )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-ipp", type=int, default=12)
+    ap.add_argument("--max-r1cs", type=int, default=10)
+    ap.add_argument("--max-shuffle", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.max_ipp, args.max_r1cs, args.max_shuffle, args.reps = 8, 6, 5, 1
+
+    print("| group | config | time |")
+    print("|---|---|---|")
+    bench_generators(args.reps)
+    bench_ipp(args.max_ipp, args.reps)
+    bench_r1cs(args.max_r1cs, args.reps)
+    bench_shuffle(args.max_shuffle, args.reps)
+    bench_rangeproof(args.reps)
+
+    out = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out, "w") as fh:
+        json.dump(RESULTS, fh, indent=1)
+    print(f"\nwrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
