@@ -234,6 +234,10 @@ def _create_host(transcript, Q, G_factors, H_factors, G, H, a, b):
 
     from ..utils import native
 
+    if native.available() and n >= 8:
+        # Full native prover: all rounds run inside the C++ core.
+        return native.ipp_create(transcript, Q, G_factors, H_factors, G, H, a, b)
+
     MOD = Scalar.MODULUS
     wG = [int(x) for x in G_factors]
     wH = [int(x) for x in H_factors]

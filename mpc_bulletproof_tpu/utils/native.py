@@ -197,3 +197,73 @@ class PointTable:
             self._lib.bp_points_free(self._handle)
         except Exception:
             pass
+
+
+def _setup_ipp(lib):
+    import ctypes as ct
+
+    if getattr(lib, "_ipp_ready", False):
+        return
+    u8p = ct.POINTER(ct.c_uint8)
+    lib.bp_ipp_create.argtypes = (
+        [u8p]                      # transcript state
+        + [u8p, u8p, ct.c_uint8]   # Q
+        + [u8p] * 2                # factors
+        + [u8p] * 6                # G, H
+        + [u8p] * 2                # a, b
+        + [ct.c_size_t]
+        + [u8p] * 3                # L/R out
+        + [u8p] * 2                # a, b out
+    )
+    lib._ipp_ready = True
+
+
+def ipp_create(transcript, Q, G_factors, H_factors, G, H, a, b):
+    """Full IPP prover in the native core: runs every round (MSMs, keccak
+    transcript absorption, challenges, folds) without crossing back into
+    Python.  The caller must have absorbed the domain separator already.
+    Returns an InnerProductProof and advances ``transcript``."""
+    import ctypes as ct
+
+    from ..models.inner_product import InnerProductProof
+    from ..ops.curve import StarkPoint
+    from ..ops.field import Scalar
+
+    lib = _lib()
+    _setup_ipp(lib)
+    n = len(G)
+    lg_n = n.bit_length() - 1
+
+    state = np.frombuffer(transcript.state, dtype=np.uint8).copy()
+    gxs, gys, ginf = _pack_points(G)
+    hxs, hys, hinf = _pack_points(H)
+    qx, qy, qi = _pack_points([Q])
+    gf = _pack_scalars(G_factors)
+    hf = _pack_scalars(H_factors)
+    av = _pack_scalars(a)
+    bv = _pack_scalars(b)
+
+    lr_x = np.zeros((2 * lg_n, 32), dtype=np.uint8)
+    lr_y = np.zeros((2 * lg_n, 32), dtype=np.uint8)
+    lr_i = np.zeros(2 * lg_n, dtype=np.uint8)
+    out_a = np.zeros(32, dtype=np.uint8)
+    out_b = np.zeros(32, dtype=np.uint8)
+
+    lib.bp_ipp_create(
+        _buf(state),
+        _buf(qx[0]), _buf(qy[0]), int(qi[0]),
+        _buf(gf), _buf(hf),
+        _buf(gxs), _buf(gys), _buf(ginf),
+        _buf(hxs), _buf(hys), _buf(hinf),
+        _buf(av), _buf(bv), n,
+        _buf(lr_x), _buf(lr_y), _buf(lr_i),
+        _buf(out_a), _buf(out_b),
+    )
+
+    transcript.state = state.tobytes()
+    pts = _unpack_points(lr_x, lr_y, lr_i)
+    L_vec = pts[0::2]
+    R_vec = pts[1::2]
+    a_fin = Scalar(int.from_bytes(out_a.tobytes(), "little"))
+    b_fin = Scalar(int.from_bytes(out_b.tobytes(), "little"))
+    return InnerProductProof(L_vec, R_vec, a_fin, b_fin)

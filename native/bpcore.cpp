@@ -583,3 +583,261 @@ void bp_point_add_batch(const u8 *xa, const u8 *ya, const u8 *ia,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Scalar field (mod r, the curve group order) — Montgomery, 4 limbs
+// ===========================================================================
+
+struct Fr { u64 v[4]; };
+
+static const Fr R_MOD  = {{0x1e66a241adc64d2fULL, 0xb781126dcae7b232ULL,
+                           0xffffffffffffffffULL, 0x0800000000000010ULL}};
+static const u64 R_INV = 0xbb6b3c4ce8bde631ULL;  // -r^{-1} mod 2^64
+static const Fr R_R2   = {{0x6021b3f1ea1c688dULL, 0x509cf64d14ce60b9ULL,
+                           0xbaf0ab4cf78bbabbULL, 0x07d9e57c2333766eULL}};
+static const Fr FR_ONE = {{0x51925a0bf4fca74fULL, 0xc75ec4b46df16beeULL,
+                           0x8ULL, 0x07fffffffffffdf1ULL}};
+
+static inline bool fr_geq(const Fr &a, const Fr &m) {
+    for (int i = 3; i >= 0; --i) {
+        if (a.v[i] > m.v[i]) return true;
+        if (a.v[i] < m.v[i]) return false;
+    }
+    return true;
+}
+
+static inline void fr_sub_raw(Fr &a, const Fr &m) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a.v[i] - m.v[i] - borrow;
+        a.v[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+static inline void fr_add(Fr &out, const Fr &a, const Fr &b) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 s = (u128)a.v[i] + b.v[i] + carry;
+        out.v[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || fr_geq(out, R_MOD)) fr_sub_raw(out, R_MOD);
+}
+
+static void fr_mul(Fr &out, const Fr &a, const Fr &b) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; ++i) {
+        u128 carry = 0;
+        for (int j = 0; j < 4; ++j) {
+            u128 cur = (u128)t[j] + (u128)a.v[i] * b.v[j] + carry;
+            t[j] = (u64)cur;
+            carry = cur >> 64;
+        }
+        u128 cur = (u128)t[4] + carry;
+        t[4] = (u64)cur;
+        t[5] = (u64)(cur >> 64);
+
+        u64 m = t[0] * R_INV;
+        carry = ((u128)t[0] + (u128)m * R_MOD.v[0]) >> 64;
+        for (int j = 1; j < 4; ++j) {
+            u128 c2 = (u128)t[j] + (u128)m * R_MOD.v[j] + carry;
+            t[j - 1] = (u64)c2;
+            carry = c2 >> 64;
+        }
+        cur = (u128)t[4] + carry;
+        t[3] = (u64)cur;
+        t[4] = t[5] + (u64)(cur >> 64);
+        t[5] = 0;
+    }
+    out.v[0] = t[0]; out.v[1] = t[1]; out.v[2] = t[2]; out.v[3] = t[3];
+    if (t[4] || fr_geq(out, R_MOD)) fr_sub_raw(out, R_MOD);
+}
+
+static void fr_from_bytes(Fr &out, const u8 *le32) {
+    Fr raw;
+    memcpy(raw.v, le32, 32);
+    // raw may be >= r (callers pass canonical values; reduce defensively)
+    while (fr_geq(raw, R_MOD)) fr_sub_raw(raw, R_MOD);
+    fr_mul(out, raw, R_R2);
+}
+
+static void fr_to_bytes(u8 *le32, const Fr &a) {
+    Fr one_raw = {{1, 0, 0, 0}};
+    Fr std_form;
+    fr_mul(std_form, a, one_raw);
+    memcpy(le32, std_form.v, 32);
+}
+
+// (hi*2^256 + lo) mod r for a 64-byte LE buffer -> standard domain
+static void fr_from_bytes_wide(Fr &out, const u8 *le64) {
+    Fr lo_raw, hi_raw, lo_m, hi_m, lo_std;
+    memcpy(lo_raw.v, le64, 32);
+    memcpy(hi_raw.v, le64 + 32, 32);
+    // lo mod r = montmul(montmul(lo, R2), 1)
+    fr_mul(lo_m, lo_raw, R_R2);
+    Fr one_raw = {{1, 0, 0, 0}};
+    fr_mul(lo_std, lo_m, one_raw);
+    // hi * 2^256 mod r = montmul(hi, R2)
+    fr_mul(hi_m, hi_raw, R_R2);
+    fr_add(out, lo_std, hi_m);  // standard domain
+}
+
+// a^(r-2) (for challenge inverses); input/output Montgomery domain
+static void fr_inv(Fr &out, const Fr &a) {
+    static const u64 e[4] = {0x1e66a241adc64d2dULL, 0xb781126dcae7b232ULL,
+                             0xffffffffffffffffULL, 0x0800000000000010ULL};
+    Fr result = FR_ONE, base = a;
+    for (int limb = 0; limb < 4; ++limb) {
+        u64 bits = e[limb];
+        for (int i = 0; i < 64; ++i) {
+            if (bits & 1) { Fr tmp; fr_mul(tmp, result, base); result = tmp; }
+            bits >>= 1;
+            if (limb == 3 && bits == 0) break;
+            Fr sq; fr_mul(sq, base, base); base = sq;
+        }
+    }
+    out = result;
+}
+
+// ===========================================================================
+// transcript (keccak hash chain per docs/transcript-spec.md)
+// ===========================================================================
+
+struct Transcript { u8 state[32]; };
+
+static void tr_absorb(Transcript &t, const u8 *label, size_t label_len,
+                      const u8 *msg, size_t msg_len) {
+    // state = keccak(state || pad_label(label) || msg)
+    size_t padded = (label_len + 31) / 32 * 32;
+    std::vector<u8> buf(32 + padded + msg_len, 0);
+    memcpy(buf.data(), t.state, 32);
+    memcpy(buf.data() + 32, label, label_len);
+    if (msg_len) memcpy(buf.data() + 32 + padded, msg, msg_len);
+    bp_keccak256(buf.data(), buf.size(), t.state);
+}
+
+static void tr_append_point_affine(Transcript &t, const u8 *label, size_t label_len,
+                                   const u8 *x_le, const u8 *y_le, u8 inf) {
+    u8 msg[64] = {0};
+    if (!inf) { memcpy(msg, x_le, 32); memcpy(msg + 32, y_le, 32); }
+    tr_absorb(t, label, label_len, msg, 64);
+}
+
+static void tr_challenge_scalar(Transcript &t, const u8 *label, size_t label_len,
+                                Fr &out_mont) {
+    // state = keccak(state || pad_label(label)); low = state; high = keccak(low)
+    tr_absorb(t, label, label_len, nullptr, 0);
+    u8 wide[64];
+    memcpy(wide, t.state, 32);
+    bp_keccak256(t.state, 32, wide + 32);
+    Fr std_val;
+    fr_from_bytes_wide(std_val, wide);
+    fr_mul(out_mont, std_val, R_R2);  // into Montgomery domain
+}
+
+// ===========================================================================
+// full IPP prover (coefficient tracking) in one call
+// ===========================================================================
+
+extern "C" void bp_ipp_create(
+    u8 *transcript_state,                       // 32 bytes, in/out (dom-sep done)
+    const u8 *q_x, const u8 *q_y, u8 q_inf,     // Q
+    const u8 *g_factors, const u8 *h_factors,   // 32*n each (canonical LE)
+    const u8 *g_xs, const u8 *g_ys, const u8 *g_inf,
+    const u8 *h_xs, const u8 *h_ys, const u8 *h_inf,
+    const u8 *a_in, const u8 *b_in,             // 32*n each
+    size_t n,
+    u8 *out_lr_x, u8 *out_lr_y, u8 *out_lr_inf, // 2*lg(n) points: L0,R0,L1,R1,...
+    u8 *out_a, u8 *out_b)                       // 32 bytes each
+{
+    Transcript tr;
+    memcpy(tr.state, transcript_state, 32);
+
+    // load generators + Q into one affine table: [G | H | Q]
+    std::vector<AffinePt> pts(2 * n + 1);
+    for (size_t i = 0; i < n; ++i) {
+        pts[i].inf = g_inf[i];
+        if (!g_inf[i]) { fp_from_bytes(pts[i].x, g_xs + 32 * i); fp_from_bytes(pts[i].y, g_ys + 32 * i); }
+        pts[n + i].inf = h_inf[i];
+        if (!h_inf[i]) { fp_from_bytes(pts[n + i].x, h_xs + 32 * i); fp_from_bytes(pts[n + i].y, h_ys + 32 * i); }
+    }
+    pts[2 * n].inf = q_inf;
+    if (!q_inf) { fp_from_bytes(pts[2 * n].x, q_x); fp_from_bytes(pts[2 * n].y, q_y); }
+
+    std::vector<Fr> wG(n), wH(n), av(n), bv(n);
+    for (size_t i = 0; i < n; ++i) {
+        fr_from_bytes(wG[i], g_factors + 32 * i);
+        fr_from_bytes(wH[i], h_factors + 32 * i);
+        fr_from_bytes(av[i], a_in + 32 * i);
+        fr_from_bytes(bv[i], b_in + 32 * i);
+    }
+
+    std::vector<u8> s_bytes(32 * (n + 1));
+    std::vector<u32> idx(n + 1);
+    size_t round = 0;
+
+    size_t cur = n;
+    while (cur > 1) {
+        size_t half = cur / 2;
+        // c_L = <a_L, b_R>, c_R = <a_R, b_L>
+        Fr c_L = {{0,0,0,0}}, c_R = {{0,0,0,0}}, t0;
+        for (size_t i = 0; i < half; ++i) {
+            fr_mul(t0, av[i], bv[half + i]); fr_add(c_L, c_L, t0);
+            fr_mul(t0, av[half + i], bv[i]); fr_add(c_R, c_R, t0);
+        }
+
+        u8 Lx[32], Ly[32], Li, Rx[32], Ry[32], Ri;
+        // L MSM
+        for (size_t i = 0; i < n; ++i) {
+            size_t r = i % cur;
+            Fr s;
+            if (r >= half) { fr_mul(s, wG[i], av[r - half]); idx[i] = (u32)i; }
+            else           { fr_mul(s, wH[i], bv[half + r]); idx[i] = (u32)(n + i); }
+            fr_to_bytes(s_bytes.data() + 32 * i, s);
+        }
+        fr_to_bytes(s_bytes.data() + 32 * n, c_L);
+        idx[n] = (u32)(2 * n);
+        msm_run(s_bytes.data(), idx.data(), pts, n + 1, Lx, Ly, &Li);
+        // R MSM
+        for (size_t i = 0; i < n; ++i) {
+            size_t r = i % cur;
+            Fr s;
+            if (r >= half) { fr_mul(s, wH[i], bv[r - half]); idx[i] = (u32)(n + i); }
+            else           { fr_mul(s, wG[i], av[half + r]); idx[i] = (u32)i; }
+            fr_to_bytes(s_bytes.data() + 32 * i, s);
+        }
+        fr_to_bytes(s_bytes.data() + 32 * n, c_R);
+        idx[n] = (u32)(2 * n);
+        msm_run(s_bytes.data(), idx.data(), pts, n + 1, Rx, Ry, &Ri);
+
+        memcpy(out_lr_x + 64 * round, Lx, 32); memcpy(out_lr_x + 64 * round + 32, Rx, 32);
+        memcpy(out_lr_y + 64 * round, Ly, 32); memcpy(out_lr_y + 64 * round + 32, Ry, 32);
+        out_lr_inf[2 * round] = Li; out_lr_inf[2 * round + 1] = Ri;
+
+        tr_append_point_affine(tr, (const u8 *)"L", 1, Lx, Ly, Li);
+        tr_append_point_affine(tr, (const u8 *)"R", 1, Rx, Ry, Ri);
+        Fr u, u_inv;
+        tr_challenge_scalar(tr, (const u8 *)"u", 1, u);
+        fr_inv(u_inv, u);
+
+        if (half > 1) {
+            for (size_t i = 0; i < n; ++i) {
+                Fr t;
+                if ((i % cur) < half) { fr_mul(t, wG[i], u_inv); wG[i] = t; fr_mul(t, wH[i], u); wH[i] = t; }
+                else                  { fr_mul(t, wG[i], u); wG[i] = t; fr_mul(t, wH[i], u_inv); wH[i] = t; }
+            }
+        }
+        for (size_t i = 0; i < half; ++i) {
+            Fr t1, t2;
+            fr_mul(t1, av[i], u); fr_mul(t2, av[half + i], u_inv); fr_add(av[i], t1, t2);
+            fr_mul(t1, bv[i], u_inv); fr_mul(t2, bv[half + i], u); fr_add(bv[i], t1, t2);
+        }
+        cur = half;
+        ++round;
+    }
+
+    fr_to_bytes(out_a, av[0]);
+    fr_to_bytes(out_b, bv[0]);
+    memcpy(transcript_state, tr.state, 32);
+}
