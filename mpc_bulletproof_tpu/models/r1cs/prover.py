@@ -219,6 +219,12 @@ class Prover(RandomizableConstraintSystem):
 
     def prove(self, bp_gens: BulletproofGens) -> R1CSProof:
         """Produce an :class:`R1CSProof` (reference prover.rs:412-727)."""
+        from ...utils import profiling
+
+        with profiling.span("r1cs.prove"):
+            return self._prove_inner(bp_gens)
+
+    def _prove_inner(self, bp_gens: BulletproofGens) -> R1CSProof:
         t = self._transcript
         t.append_u64(b"m", len(self.v))
 

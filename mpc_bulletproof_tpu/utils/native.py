@@ -110,6 +110,9 @@ def _unpack_points(xs, ys, inf):
 
 def msm(scalars, points):
     """Native Pippenger MSM over host Scalars/StarkPoints."""
+    from . import profiling
+
+    profiling.count("native.msm_points", len(points))
     lib = _lib()
     s = _pack_scalars(scalars)
     xs, ys, inf = _pack_points(points)
