@@ -120,6 +120,13 @@ class BulletproofGens:
     def share(self, j: int) -> "BulletproofGensShare":
         return BulletproofGensShare(self, j)
 
+    def as_mpc_values(self) -> "BulletproofGensShare":
+        """View for the MPC provers (reference src/generators.rs:204-206).
+
+        Generators are public curve points; in the eager fabric they need no
+        allocation wrapper, so this is party 0's chain view."""
+        return self.share(0)
+
     def G(self, n: int, m: int) -> list[StarkPoint]:
         """Aggregated party-major iteration over G (src/generators.rs:262-292)."""
         return [self.G_vec[j][i] for j in range(m) for i in range(n)]

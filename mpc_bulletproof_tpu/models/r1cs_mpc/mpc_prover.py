@@ -56,6 +56,12 @@ class MpcProver(MpcRandomizableConstraintSystem):
         self.deferred_constraints = []
         self.pending_multiplier: int | None = None
 
+    @classmethod
+    def new_with_network(cls, network, beaver_source, pc_gens, transcript):
+        """Construct the fabric from a transport + pre-processing source
+        (reference mpc_prover.rs:100-127 ``new_with_network``)."""
+        return cls(MpcFabric(network, beaver_source), pc_gens, transcript)
+
     # -- MpcConstraintSystem -------------------------------------------------
 
     def party_id(self) -> int:

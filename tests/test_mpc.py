@@ -331,3 +331,39 @@ def _const_lc(value):
     )
 
     return LinearCombination({Variable.one(): Scalar(value)})
+
+
+def test_shared_ipp_interleaved_ownership():
+    """Alternating per-element witness ownership (mirrors the reference's
+    interleaved-ownership integration case)."""
+    n = 8
+    G = BP.share(0).G(n)
+    H = BP.share(0).H(n)
+    Q = StarkPoint.generator().scalar_mul(Scalar(0x1111))
+    a = [rand_scalar() for _ in range(n)]
+    b = [rand_scalar() for _ in range(n)]
+
+    def fn(fabric):
+        parts_a = []
+        parts_b = []
+        for i in range(n):
+            owner = i % 2
+            val_a = [a[i]] if fabric.party_id == owner else None
+            val_b = [b[i]] if fabric.party_id == owner else None
+            parts_a.append(fabric.batch_share_scalars(val_a, owner, count=1))
+            parts_b.append(fabric.batch_share_scalars(val_b, owner, count=1))
+        a_sh = AuthenticatedScalarVector.concat(parts_a)
+        b_sh = AuthenticatedScalarVector.concat(parts_b)
+        t = MpcTranscript(HashChainTranscript(b"interleave"))
+        proof = SharedInnerProductProof.create(
+            t, Q, [Scalar(1)] * n, [Scalar(1)] * n, list(G), list(H), a_sh, b_sh, fabric
+        )
+        return proof.open()
+
+    p0, p1 = run_two_parties(fn, fn)
+    assert p0 == p1
+    from mpc_bulletproof_tpu.ops.field import inner_product
+
+    P = StarkPoint.msm(a + b + [inner_product(a, b)], G + H + [Q])
+    t = HashChainTranscript(b"interleave")
+    p0.verify(n, t, [Scalar(1)] * n, [Scalar(1)] * n, P, Q, G, H)

@@ -230,3 +230,21 @@ def test_prover_missing_assignment():
     prover = Prover(PC_GENS, transcript)
     with pytest.raises(MissingAssignmentError):
         prover.allocate(None)
+
+
+def test_lc_one_minus_one_is_zero():
+    """Mirrors reference linear_combination.rs:309-335: eval(1*One - 1) == 0."""
+    from mpc_bulletproof_tpu.models.r1cs.linear_combination import Variable
+
+    transcript = HashChainTranscript(b"lc")
+    prover = Prover(PC_GENS, transcript)
+    lc = Variable.one() - 1
+    assert prover.eval(lc).is_zero()
+
+
+def test_shuffle_k42():
+    inputs = [rand_scalar() for _ in range(42)]
+    outputs = list(inputs)
+    rng.shuffle(outputs)
+    proof, in_c, out_c = shuffle_prove(inputs, outputs)
+    shuffle_verify(proof, in_c, out_c)
