@@ -367,3 +367,41 @@ def test_shared_ipp_interleaved_ownership():
     P = StarkPoint.msm(a + b + [inner_product(a, b)], G + H + [Q])
     t = HashChainTranscript(b"interleave")
     p0.verify(n, t, [Scalar(1)] * n, [Scalar(1)] * n, P, Q, G, H)
+
+
+def test_authenticated_poly_matches_plain():
+    """AuthenticatedVecPoly3.special_inner_product over shares equals the
+    plain VecPoly3 result (reference authenticated_poly.rs unit tests)."""
+    from mpc_bulletproof_tpu.models.r1cs_mpc.authenticated_poly import (
+        AuthenticatedVecPoly3,
+    )
+    from mpc_bulletproof_tpu.ops.poly import VecPoly3
+
+    n = 4
+    coeffs = [[rand_scalar() for _ in range(n)] for _ in range(8)]
+    l_plain = VecPoly3([Scalar(0)] * n, coeffs[1], coeffs[2], coeffs[3])
+    r_plain = VecPoly3(coeffs[4], coeffs[5], [Scalar(0)] * n, coeffs[7])
+    t_plain = VecPoly3.special_inner_product(l_plain, r_plain)
+    x = rand_scalar()
+    expect_t = [t_plain.t1, t_plain.t2, t_plain.t3, t_plain.t4, t_plain.t5, t_plain.t6]
+    expect_l = l_plain.eval(x)
+
+    def fn(fabric):
+        def share(vals, owner):
+            return fabric.batch_share_scalars(
+                vals if fabric.party_id == owner else None, owner, count=n
+            )
+
+        zeros = fabric.zeros_authenticated(n)
+        l_poly = AuthenticatedVecPoly3(zeros, share(coeffs[1], 0), share(coeffs[2], 1), share(coeffs[3], 0))
+        r_poly = AuthenticatedVecPoly3(share(coeffs[4], 1), share(coeffs[5], 0), zeros, share(coeffs[7], 1))
+        t_poly = AuthenticatedVecPoly3.special_inner_product(l_poly, r_poly)
+        opened_t = AuthenticatedScalarVector.concat(
+            [t_poly.t1, t_poly.t2, t_poly.t3, t_poly.t4, t_poly.t5, t_poly.t6]
+        ).open_authenticated()
+        opened_l = l_poly.eval(x).open_authenticated()
+        return opened_t, opened_l
+
+    (t0, l0), (t1, l1) = run_two_parties(fn, fn)
+    assert t0 == expect_t == t1
+    assert l0 == expect_l == l1
