@@ -193,10 +193,14 @@ class MpcProver(MpcRandomizableConstraintSystem):
             comms, variables = self.batch_commit(owning_party, None, None, count=1)
         return comms[0], variables[0]
 
-    def batch_commit_preshared(self, v_shares: AuthenticatedScalarVector,
-                               b_shares: AuthenticatedScalarVector):
-        """Commit values for which parties already hold authenticated shares
-        (reference mpc_prover.rs:402-456)."""
+    def batch_commit_preshared(self, v_shares, b_shares):
+        """Commit values for which parties already hold additive shares
+        (reference mpc_prover.rs:402-456).  Accepts plain per-party share
+        lists (authenticated on the fly) or authenticated vectors."""
+        if not isinstance(v_shares, AuthenticatedScalarVector):
+            v_shares = self.fabric.authenticate_preshared(list(v_shares))
+        if not isinstance(b_shares, AuthenticatedScalarVector):
+            b_shares = self.fabric.authenticate_preshared(list(b_shares))
         return self._commit_shared_batch(v_shares, b_shares)
 
     def commit_preshared(self, v_share: AuthenticatedScalarVector,

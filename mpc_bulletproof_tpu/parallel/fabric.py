@@ -245,6 +245,62 @@ class MpcFabric:
             self, [s for s, _ in vals], [m for _, m in vals]
         )
 
+    def allocate_scalars(self, values: Sequence[Scalar]) -> AuthenticatedScalarVector:
+        """Lift public constants into authenticated form (both parties know
+        the values; mirrors ``fabric.allocate_scalar``)."""
+        return self.zeros_authenticated(len(values)).add_public(list(values))
+
+    def authenticate_preshared(
+        self, raw_shares: Sequence[Scalar]
+    ) -> AuthenticatedScalarVector:
+        """Attach MACs to values the parties already hold as plain additive
+        shares (the ``commit_preshared`` entry path, reference
+        mpc_prover.rs:402-456): open ``x - r`` against an authenticated
+        random mask — one plain exchange, no MAC leakage."""
+        k = len(raw_shares)
+        masks = self.beaver.next_shared_value_batch(k)
+        mask_vec = AuthenticatedScalarVector(
+            self, [s for s, _ in masks], [m for _, m in masks]
+        )
+        delta_shares = [x - r for x, r in zip(raw_shares, mask_vec.shares)]
+        theirs = self.exchange_scalars(delta_shares)
+        deltas = [a + b for a, b in zip(delta_shares, theirs)]
+        return mask_vec.add_public(deltas)
+
+    def share_point(self, point: StarkPoint | None, owner: int) -> "AuthenticatedPoint":
+        """Secret-share a curve point held by ``owner``.
+
+        The owner splits ``P = P_mask + (P - P_mask)`` with a random mask
+        point and sends the mask share; MACs ride an authenticated scalar
+        decomposition is unnecessary — the point MAC is built from an
+        authenticated random scalar pair ``(r, alpha r)`` times the
+        generator plus a public correction.
+        """
+        gen = StarkPoint.generator()
+        mask = self.random_shared_scalars_authenticated(1)
+        mask_pt = AuthenticatedPoint(
+            self,
+            mask.shares[0] * gen,
+            mask.macs[0] * gen,
+        )
+        if self.party_id == owner:
+            if point is None:
+                raise MPCError("owner must supply the point")
+            r_open = self._open_point_to(owner, mask_pt)
+            delta = point + (-r_open)
+            self.net.send_bytes(_pack_points([delta]))
+        else:
+            self._open_point_to(owner, mask_pt)
+            delta = _unpack_points(self.net.recv_bytes())[0]
+        return mask_pt.add_public(delta)
+
+    def _open_point_to(self, owner: int, pt: "AuthenticatedPoint"):
+        if self.party_id == owner:
+            theirs = _unpack_points(self.net.recv_bytes())[0]
+            return pt.share + theirs
+        self.net.send_bytes(_pack_points([pt.share]))
+        return None
+
     # -- raw exchange -------------------------------------------------------
 
     def exchange_scalars(self, values: Sequence[Scalar]) -> list[Scalar]:

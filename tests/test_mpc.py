@@ -405,3 +405,49 @@ def test_authenticated_poly_matches_plain():
     (t0, l0), (t1, l1) = run_two_parties(fn, fn)
     assert t0 == expect_t == t1
     assert l0 == expect_l == l1
+
+
+def test_share_point_and_preshared_commit():
+    g = StarkPoint.generator()
+    secret_pt = g.scalar_mul(Scalar(0xDEADBEEF))
+    val = Scalar(777)
+
+    def fn(fabric):
+        # share a point owned by party 1
+        shared_pt = fabric.share_point(
+            secret_pt if fabric.party_id == 1 else None, owner=1
+        )
+        opened = shared_pt.open_authenticated()
+        # authenticate preshared scalar shares: 777 = 700 + 77
+        my_raw = [Scalar(700)] if fabric.party_id == 0 else [Scalar(77)]
+        auth = fabric.authenticate_preshared(my_raw)
+        opened_val = auth.open_authenticated()[0]
+        return opened, opened_val
+
+    (p0, v0), (p1, v1) = run_two_parties(fn, fn)
+    assert p0 == secret_pt == p1
+    assert v0 == val == v1
+
+
+def test_mpc_commit_preshared_roundtrip():
+    """Preshared-witness commit path produces a verifying proof."""
+    def fn(fabric):
+        transcript = HashChainTranscript(b"preshared")
+        prover = MpcProver(fabric, PC, transcript)
+        # witness 42 = 40 + 2, blinding 9 = 4 + 5, both preshared
+        v_raw = [Scalar(40)] if fabric.party_id == 0 else [Scalar(2)]
+        b_raw = [Scalar(4)] if fabric.party_id == 0 else [Scalar(5)]
+        comms, variables = prover.batch_commit_preshared(v_raw, b_raw)
+        # constrain v * 1 = 42
+        _, _, o = prover.multiply(variables[0].to_lc(), _const_lc(1))
+        prover.constrain(o.to_lc() - _const_lc(42))
+        proof = prover.prove(BP).open()
+        return proof, comms[0]
+
+    (proof, comm), _ = run_two_parties(fn, fn)
+    vt = HashChainTranscript(b"preshared")
+    verifier = Verifier(PC, vt)
+    var = verifier.commit(comm)
+    _, _, o = verifier.multiply(var.to_lc(), _const_lc(1))
+    verifier.constrain(o.to_lc() - _const_lc(42))
+    verifier.verify(proof, BP)
