@@ -52,8 +52,16 @@ def main():
     import jax
 
     backend = jax.default_backend()
-    if backend == "tpu" and not tpu_transfers_healthy():
+    transfers_ok = backend == "tpu" and tpu_transfers_healthy()
+    if backend == "tpu" and not transfers_ok:
         log("WARNING: TPU device->host transfers unhealthy; forcing host backend")
+    # The headline metric runs on the host+native path unless explicitly
+    # asked to use the device path end-to-end (BENCH_DEVICE=1); the device
+    # kernels are measured separately below with a timeout guard so an
+    # unwarmed Mosaic compile cannot sink the headline number.
+    if os.environ.get("BENCH_DEVICE") == "1" and transfers_ok:
+        os.environ["BP_FORCE_BACKEND"] = "device"
+    else:
         os.environ["BP_FORCE_BACKEND"] = "host"
 
     from mpc_bulletproof_tpu import (
@@ -108,6 +116,62 @@ def main():
 
     log(f"prove: {best_prove_s*1e3:.1f} ms total, {per_proof_us:.0f} us/proof (m={m})")
     log(f"verify: {per_verify_us:.0f} us/proof")
+
+    # Auxiliary metric: MSM points/sec (BASELINE.md: points/sec/chip at 2^20).
+    try:
+        msm_n = int(os.environ.get("BENCH_MSM_N", "16384"))
+        from mpc_bulletproof_tpu import StarkPoint as SP
+
+        base_pts = [SP.generator().scalar_mul(Scalar(i + 2)) for i in range(256)]
+        pts = (base_pts * ((msm_n // 256) + 1))[:msm_n]
+        scl = [Scalar(rng.getrandbits(260)) for _ in range(msm_n)]
+        if bp_backend.use_device():
+            from mpc_bulletproof_tpu.ops import msm as msm_mod
+
+            msm_fn = lambda: msm_mod.msm_host_points(scl, pts)
+        else:
+            msm_fn = lambda: SP.msm(scl, pts)
+        msm_fn()  # warm
+        t0 = time.time()
+        msm_fn()
+        dt = time.time() - t0
+        log(f"msm n={msm_n}: {dt*1e3:.1f} ms -> {msm_n/dt/1e6:.3f} Mpoints/s")
+    except Exception as exc:  # noqa: BLE001 - auxiliary only
+        log(f"msm aux benchmark skipped: {exc}")
+
+    # Device MSM measurement (subprocess + timeout: first Mosaic compile can
+    # be slow and the tunnel can wedge; neither may block the benchmark).
+    if transfers_ok:
+        import subprocess
+
+        code = (
+            "import time, random, jax\n"
+            "from mpc_bulletproof_tpu import Scalar, StarkPoint\n"
+            "from mpc_bulletproof_tpu.ops import msm, curve_jax as cj\n"
+            "import jax.numpy as jnp\n"
+            "rng = random.Random(3)\n"
+            "n = 4096\n"
+            "g = StarkPoint.generator()\n"
+            "base = [g.scalar_mul(Scalar(i + 2)) for i in range(128)]\n"
+            "pts = jnp.asarray(cj.points_from_host((base * (n // 128))[:n]))\n"
+            "scl = jnp.asarray(cj.scalars_from_host([Scalar(rng.getrandbits(260)) for _ in range(n)]))\n"
+            "r = msm.msm_device(scl, pts); r.block_until_ready()\n"
+            "t0 = time.time()\n"
+            "for _ in range(5): r = msm.msm_device(scl, pts)\n"
+            "r.block_until_ready()\n"
+            "dt = (time.time() - t0) / 5\n"
+            "print('device msm n=%d: %.1f ms -> %.3f Mpoints/s' % (n, dt*1e3, n/dt/1e6))\n"
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, timeout=600, text=True,
+            )
+            for line in (out.stdout + out.stderr).splitlines():
+                if "device msm" in line:
+                    log(line)
+        except subprocess.TimeoutExpired:
+            log("device msm benchmark timed out (tunnel or compile)")
 
     print(
         json.dumps(

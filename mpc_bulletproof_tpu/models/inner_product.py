@@ -422,7 +422,16 @@ def _create_host_folding(transcript, Q, G_factors, H_factors, G, H, a, b):
 # ---------------------------------------------------------------------------
 
 def _create_device(transcript, Q, G_factors, H_factors, G, H, a, b):
+    """Coefficient-tracking IPP prover on the TPU kernels.
+
+    Same algorithm as the host prover: per round, L/R are (n+1)-term MSMs
+    over the *original* generators with tracked per-generator coefficients.
+    This keeps the MSM shape constant across rounds (one kernel compile per
+    proof size) and eliminates the per-round 252-step point-fold scans.
+    Only L and R (2 x 32 bytes) cross to the host transcript per round.
+    """
     import jax.numpy as jnp
+    import numpy as np
 
     from ..ops import curve_jax as cj
     from ..ops import fold as fold_mod
@@ -430,49 +439,54 @@ def _create_device(transcript, Q, G_factors, H_factors, G, H, a, b):
     from ..ops import msm as msm_mod
 
     n = len(G)
+    if n == 1:
+        return InnerProductProof([], [], a[0], b[0])
+
     a_d = jnp.asarray(cj.scalars_from_host(a))
     b_d = jnp.asarray(cj.scalars_from_host(b))
-    G_d = jnp.asarray(cj.points_from_host(G))
-    H_d = jnp.asarray(cj.points_from_host(H))
-    gf_d = jnp.asarray(cj.scalars_from_host(G_factors))
-    hf_d = jnp.asarray(cj.scalars_from_host(H_factors))
-    Q_d = jnp.asarray(cj.points_from_host([Q]))
+    wG_d = jnp.asarray(cj.scalars_from_host(G_factors))
+    wH_d = jnp.asarray(cj.scalars_from_host(H_factors))
+    pts_d = jnp.asarray(
+        np.concatenate(
+            [cj.points_from_host(G), cj.points_from_host(H), cj.points_from_host([Q])],
+            axis=-1,
+        )
+    )
 
     L_vec: list[StarkPoint] = []
     R_vec: list[StarkPoint] = []
 
-    first = True
-    while n > 1:
-        n //= 2
-        a_L, a_R = a_d[:, :n], a_d[:, n:]
-        b_L, b_R = b_d[:, :n], b_d[:, n:]
-        G_L, G_R = G_d[..., :n], G_d[..., n:]
-        H_L, H_R = H_d[..., :n], H_d[..., n:]
-
+    cur = n
+    while cur > 1:
+        half = cur // 2
+        a_L, a_R = a_d[:, :half], a_d[:, half:]
+        b_L, b_R = b_d[:, :half], b_d[:, half:]
         c_L = limb.inner_product_mod(a_L, b_R, limb.FR)[:, None]
         c_R = limb.inner_product_mod(a_R, b_L, limb.FR)[:, None]
 
-        if first:
-            sL = limb.mod_mul(a_L, gf_d[:, n : 2 * n], limb.FR)
-            sLh = limb.mod_mul(b_R, hf_d[:, :n], limb.FR)
-            sR = limb.mod_mul(a_R, gf_d[:, :n], limb.FR)
-            sRh = limb.mod_mul(b_L, hf_d[:, n : 2 * n], limb.FR)
-        else:
-            sL, sLh, sR, sRh = a_L, b_R, a_R, b_L
+        r_np = np.arange(n) % cur
+        hi = r_np >= half                      # classes on the "right" half
+        hi_d = jnp.asarray(hi)
+        idxL, idxR = _ipp_round_indices(n, cur)
+
+        a_of_class = a_L[:, np.where(hi, r_np - half, 0)]
+        bR_of_class = b_R[:, np.where(hi, 0, r_np)]
+        aR_of_class = a_R[:, np.where(hi, 0, r_np)]
+        bL_of_class = b_L[:, np.where(hi, r_np - half, 0)]
+        w_hiG = jnp.where(hi_d[None], wG_d, wH_d)
+        w_hiH = jnp.where(hi_d[None], wH_d, wG_d)
+
+        sL = limb.mod_mul(w_hiG, jnp.where(hi_d[None], a_of_class, bR_of_class), limb.FR)
+        sR = limb.mod_mul(w_hiH, jnp.where(hi_d[None], bL_of_class, aR_of_class), limb.FR)
 
         L_d = msm_mod.msm_device(
-            jnp.concatenate([sL, sLh, c_L], axis=-1),
-            jnp.concatenate([G_R, H_L, Q_d], axis=-1),
+            jnp.concatenate([sL, c_L], axis=-1), pts_d[:, :, np.asarray(idxL)]
         )
         R_d = msm_mod.msm_device(
-            jnp.concatenate([sR, sRh, c_R], axis=-1),
-            jnp.concatenate([G_L, H_R, Q_d], axis=-1),
+            jnp.concatenate([sR, c_R], axis=-1), pts_d[:, :, np.asarray(idxR)]
         )
 
-        # Only L and R cross to the host for the Fiat-Shamir transcript.
-        L_pt, R_pt = cj.points_to_host(
-            jnp.stack([L_d, R_d], axis=-1)
-        )
+        L_pt, R_pt = cj.points_to_host(jnp.stack([L_d, R_d], axis=-1))
         L_vec.append(L_pt)
         R_vec.append(R_pt)
         transcript.append_point(b"L", L_pt)
@@ -483,24 +497,17 @@ def _create_device(transcript, Q, G_factors, H_factors, G, H, a, b):
         u_d = jnp.asarray(limb.int_to_limbs_np(u.value))
         u_inv_d = jnp.asarray(limb.int_to_limbs_np(u_inv.value))
 
+        if half > 1:
+            uG = jnp.where(hi_d[None], jnp.broadcast_to(u_d, (limb.NL, n)),
+                           jnp.broadcast_to(u_inv_d, (limb.NL, n)))
+            uH = jnp.where(hi_d[None], jnp.broadcast_to(u_inv_d, (limb.NL, n)),
+                           jnp.broadcast_to(u_d, (limb.NL, n)))
+            wG_d = limb.mod_mul(wG_d, uG, limb.FR)
+            wH_d = limb.mod_mul(wH_d, uH, limb.FR)
+
         a_d = fold_mod.fold_scalars(u_d, u_inv_d, a_L, a_R)
         b_d = fold_mod.fold_scalars(u_inv_d, u_d, b_L, b_R)
-
-        if first:
-            gl_s = limb.mod_mul(gf_d[:, :n], u_inv_d, limb.FR)
-            gr_s = limb.mod_mul(gf_d[:, n : 2 * n], u_d, limb.FR)
-            hl_s = limb.mod_mul(hf_d[:, :n], u_d, limb.FR)
-            hr_s = limb.mod_mul(hf_d[:, n : 2 * n], u_inv_d, limb.FR)
-            G_d = fold_mod.fold_points(
-                fold_mod.scalar_bits(gl_s), fold_mod.scalar_bits(gr_s), G_L, G_R
-            )
-            H_d = fold_mod.fold_points(
-                fold_mod.scalar_bits(hl_s), fold_mod.scalar_bits(hr_s), H_L, H_R
-            )
-            first = False
-        else:
-            G_d = fold_mod.fold_points_shared(u_inv_d, u_d, G_L, G_R)
-            H_d = fold_mod.fold_points_shared(u_d, u_inv_d, H_L, H_R)
+        cur = half
 
     a_fin = cj.scalars_to_host(a_d)[0]
     b_fin = cj.scalars_to_host(b_d)[0]
