@@ -151,54 +151,68 @@ class RangeProof:
         t.append_scalar(b"e_blinding", self.e_blinding)
         w = t.challenge_scalar(b"w")
 
-        u_sq, u_inv_sq, s = self.ipp_proof.verification_scalars(n * m, t)
+        u_sq, u_inv_sq, s_sc = self.ipp_proof.verification_scalars(n * m, t)
+
+        # Scalar bookkeeping below runs on raw ints (the MSM backends accept
+        # them directly); only the group ops stay in point types.
+        MOD = Scalar.MODULUS
+        s = [int(v) for v in s_sc]
         s_inv = list(reversed(s))
-        a, b = self.ipp_proof.a, self.ipp_proof.b
+        a, b = int(self.ipp_proof.a), int(self.ipp_proof.b)
+        yv, zv, xv, wv = int(y), int(z), int(x), int(w)
+        t_x, t_x_blinding, e_blinding = (
+            int(self.t_x), int(self.t_x_blinding), int(self.e_blinding),
+        )
 
         # Random combination weight for the two verification equations.
-        c = t.challenge_scalar(b"c")
+        c = int(t.challenge_scalar(b"c"))
 
-        y_inv_pows = scalar_powers(y.inverse(), n * m)
-        zz = z * z
+        y_inv = pow(yv, -1, MOD)
+        y_inv_pows = [1] * (n * m)
+        for i in range(1, n * m):
+            y_inv_pows[i] = y_inv_pows[i - 1] * y_inv % MOD
+        zz = zv * zv % MOD
         # concat of z^{2+j} 2^i over blocks
-        pow2 = scalar_powers(Scalar(2), n)
-        z_and_2: list[Scalar] = []
+        z_and_2 = [0] * (n * m)
         exp_z = zz
-        for _ in range(m):
+        for j in range(m):
+            exp_2 = exp_z
             for i in range(n):
-                z_and_2.append(exp_z * pow2[i])
-            exp_z = exp_z * z
+                z_and_2[j * n + i] = exp_2
+                exp_2 = exp_2 * 2 % MOD
+            exp_z = exp_z * zv % MOD
 
-        g_scalars = [-z - a * s_i for s_i in s]
+        g_scalars = [(-zv - a * s_i) % MOD for s_i in s]
         h_scalars = [
-            z + y_inv_pows[i] * (z_and_2[i] - b * s_inv[i]) for i in range(n * m)
+            (zv + y_inv_pows[i] * (z_and_2[i] - b * s_inv[i])) % MOD
+            for i in range(n * m)
         ]
 
         # delta(y, z) = (z - z^2) <1, y^{nm}> - sum_j z^{j+3} <1, 2^n>
-        sum_y = sum_of_powers(y, n * m)
-        sum_2 = sum_of_powers(Scalar(2), n)
-        sum_z = sum_of_powers(z, m)
-        delta = (z - zz) * sum_y - z * zz * sum_z * sum_2
+        sum_y = int(sum_of_powers(y, n * m))
+        sum_2 = (1 << n) - 1
+        sum_z = int(sum_of_powers(z, m))
+        delta = ((zv - zz) * sum_y - zv * zz % MOD * sum_z % MOD * sum_2) % MOD
 
-        basepoint_scalar = w * (self.t_x - a * b) + c * (delta - self.t_x)
+        basepoint_scalar = (wv * (t_x - a * b) + c * (delta - t_x)) % MOD
         value_commitment_scalars = []
-        exp_z = c * zz
+        exp_z = c * zz % MOD
         for _ in range(m):
             value_commitment_scalars.append(exp_z)
-            exp_z = exp_z * z
+            exp_z = exp_z * zv % MOD
 
         G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
         H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
 
         scalars = (
-            [Scalar(1), x, c * x, c * x * x]
+            [1, xv, c * xv % MOD, c * xv % MOD * xv % MOD]
             + value_commitment_scalars
             + [basepoint_scalar]
-            + [-self.e_blinding - c * self.t_x_blinding]
+            + [(-e_blinding - c * t_x_blinding) % MOD]
             + g_scalars
             + h_scalars
-            + u_sq
-            + u_inv_sq
+            + [int(u) for u in u_sq]
+            + [int(u) for u in u_inv_sq]
         )
         points = (
             [self.A, self.S, self.T_1, self.T_2]

@@ -75,13 +75,21 @@ class PartyAwaitingPosition:
         V_j = self.pc_gens.commit(Scalar(self.v), self.v_blinding)
 
         # A = <a_L, G> + <a_R, H> + a_blinding * B_blinding, with a_L the bits
-        # of v and a_R = a_L - 1.
+        # of v and a_R = a_L - 1: no scalar multiplications needed — set bits
+        # select G_i, clear bits select -H_i.
         bits = [(self.v >> i) & 1 for i in range(n)]
-        a_L = [Scalar(b) for b in bits]
-        a_R = [Scalar(b - 1) for b in bits]
-        A_j = StarkPoint.msm(
-            [a_blinding] + a_L + a_R, [self.pc_gens.B_blinding] + G_j + H_j
-        )
+        from ...utils import native
+
+        if native.available():
+            sum_G = native.sum_selected(bits, G_j)
+            sum_negH = native.sum_selected([1 - b for b in bits], [-h for h in H_j])
+            A_j = sum_G + sum_negH + StarkPoint.msm([a_blinding], [self.pc_gens.B_blinding])
+        else:
+            a_L = [Scalar(b) for b in bits]
+            a_R = [Scalar(b - 1) for b in bits]
+            A_j = StarkPoint.msm(
+                [a_blinding] + a_L + a_R, [self.pc_gens.B_blinding] + G_j + H_j
+            )
         S_j = StarkPoint.msm(
             [s_blinding] + s_L + s_R, [self.pc_gens.B_blinding] + G_j + H_j
         )

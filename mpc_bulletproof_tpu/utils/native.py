@@ -270,3 +270,21 @@ def ipp_create(transcript, Q, G_factors, H_factors, G, H, a, b):
     a_fin = Scalar(int.from_bytes(out_a.tobytes(), "little"))
     b_fin = Scalar(int.from_bytes(out_b.tobytes(), "little"))
     return InnerProductProof(L_vec, R_vec, a_fin, b_fin)
+
+
+def sum_selected(bits, points):
+    """Sum of points at positions where ``bits`` is truthy (bit commitments
+    need no scalar multiplications)."""
+    lib = _lib()
+    lib.bp_sum_selected.argtypes = [ctypes.POINTER(ctypes.c_uint8)] * 4 + [
+        ctypes.c_size_t
+    ] + [ctypes.POINTER(ctypes.c_uint8)] * 3
+    n = len(points)
+    b = np.asarray([1 if x else 0 for x in bits], dtype=np.uint8)
+    xs, ys, inf = _pack_points(points)
+    ox = np.zeros(32, dtype=np.uint8)
+    oy = np.zeros(32, dtype=np.uint8)
+    oi = np.zeros(1, dtype=np.uint8)
+    lib.bp_sum_selected(_buf(b), _buf(xs), _buf(ys), _buf(inf), n,
+                        _buf(ox), _buf(oy), _buf(oi))
+    return _unpack_points(ox[None], oy[None], oi)[0]

@@ -841,3 +841,20 @@ extern "C" void bp_ipp_create(
     fr_to_bytes(out_b, bv[0]);
     memcpy(transcript_state, tr.state, 32);
 }
+
+// ---- sum of selected points: out = sum_{i: bits[i] != 0} P_i ----
+extern "C" void bp_sum_selected(const u8 *bits, const u8 *xs, const u8 *ys,
+                                const u8 *inf, size_t n,
+                                u8 *out_x, u8 *out_y, u8 *out_inf) {
+    Pt acc = PT_IDENT;
+    for (size_t i = 0; i < n; ++i) {
+        if (!bits[i] || inf[i]) continue;
+        Fp px, py;
+        fp_from_bytes(px, xs + 32 * i);
+        fp_from_bytes(py, ys + 32 * i);
+        Pt t;
+        pt_add_mixed(t, acc, px, py);
+        acc = t;
+    }
+    pt_to_affine(out_x, out_y, out_inf, acc);
+}
