@@ -17,3 +17,30 @@ from .transcript import HashChainTranscript, hash_to_scalar  # noqa: F401
 from .utils import errors  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports of the proof systems (mirrors the reference
+    crate root's re-exports, reference src/lib.rs:27-49) without importing
+    JAX at package-import time."""
+    if name == "InnerProductProof":
+        from .models.inner_product import InnerProductProof
+
+        return InnerProductProof
+    if name in ("Prover", "Verifier", "R1CSProof", "Variable", "LinearCombination"):
+        from .models import r1cs
+
+        return getattr(r1cs, name)
+    if name == "RangeProof":
+        from .models.range_proof import RangeProof
+
+        return RangeProof
+    if name in ("MpcProver", "SharedInnerProductProof", "PartiallySharedR1CSProof"):
+        from .models import r1cs_mpc
+
+        return getattr(r1cs_mpc, name)
+    if name == "MpcFabric":
+        from .parallel.fabric import MpcFabric
+
+        return MpcFabric
+    raise AttributeError(f"module 'mpc_bulletproof_tpu' has no attribute {name!r}")

@@ -215,58 +215,69 @@ class Verifier(RandomizableConstraintSystem):
 
         w = t.challenge_scalar(b"w")
 
-        wL, wR, wO, wV, wc = self._flattened_constraints(z)
+        wL_s, wR_s, wO_s, wV_s, wc_s = self._flattened_constraints(z)
 
-        u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(padded_n, t)
+        u_sq, u_inv_sq, s_sc = proof.ipp_proof.verification_scalars(padded_n, t)
 
-        a = proof.ipp_proof.a
-        b = proof.ipp_proof.b
+        # Scalar bookkeeping on raw ints; the MSM backends take ints directly.
+        MOD = Scalar.MODULUS
+        wL = [int(v) for v in wL_s]
+        wR = [int(v) for v in wR_s]
+        wO = [int(v) for v in wO_s]
+        wV = [int(v) for v in wV_s]
+        wc = int(wc_s)
+        s = [int(v) for v in s_sc]
+        a = int(proof.ipp_proof.a)
+        b = int(proof.ipp_proof.b)
+        yv, zv, uv, xv, wv = int(y), int(z), int(u), int(x), int(w)
+        t_x = int(proof.t_x)
 
-        y_inv = y.inverse()
-        y_inv_vec = []
-        cur = Scalar(1)
-        for _ in range(padded_n):
-            y_inv_vec.append(cur)
-            cur = cur * y_inv
+        y_inv = pow(yv, -1, MOD)
+        y_inv_vec = [1] * padded_n
+        for i in range(1, padded_n):
+            y_inv_vec[i] = y_inv_vec[i - 1] * y_inv % MOD
 
-        yneg_wR = [wRi * yi for wRi, yi in zip(wR, y_inv_vec)] + [Scalar(0)] * pad
-        delta = inner_product(yneg_wR[:n], wL)
+        yneg_wR = [wRi * yi % MOD for wRi, yi in zip(wR, y_inv_vec)] + [0] * pad
+        delta = sum(p * q for p, q in zip(yneg_wR[:n], wL)) % MOD
 
-        u_for_g = [Scalar(1)] * n1 + [u] * (n2 + pad)
+        u_for_g = [1] * n1 + [uv] * (n2 + pad)
 
         g_scalars = [
-            uf * (x * ywr - a * s_i)
+            uf * (xv * ywr - a * s_i) % MOD
             for ywr, uf, s_i in zip(yneg_wR, u_for_g, s[:padded_n])
         ]
-        wL_pad = wL + [Scalar(0)] * pad
-        wO_pad = wO + [Scalar(0)] * pad
+        wL_pad = wL + [0] * pad
+        wO_pad = wO + [0] * pad
         s_rev = list(reversed(s))
         h_scalars = [
-            uf * (yi * (x * wli + woi - b * s_inv) - Scalar(1))
+            uf * (yi * (xv * wli + woi - b * s_inv) - 1) % MOD
             for yi, uf, s_inv, wli, woi in zip(
                 y_inv_vec, u_for_g, s_rev[:padded_n], wL_pad, wO_pad
             )
         ]
 
-        r = t.challenge_scalar(b"r")
+        r = int(t.challenge_scalar(b"r"))
 
-        xx = x * x
-        rxx = r * xx
-        xxx = x * xx
+        xx = xv * xv % MOD
+        rxx = r * xx % MOD
+        xxx = xv * xx % MOD
 
-        T_scalars = [r * x, rxx * x, rxx * xx, rxx * xxx, rxx * xx * xx]
+        T_scalars = [
+            r * xv % MOD, rxx * xv % MOD, rxx * xx % MOD,
+            rxx * xxx % MOD, rxx * xx % MOD * xx % MOD,
+        ]
         T_points = [proof.T_1, proof.T_3, proof.T_4, proof.T_5, proof.T_6]
 
         scalars = (
-            [x, xx, xxx, u * x, u * xx, u * xxx]
-            + [wVi * rxx for wVi in wV]
+            [xv, xx, xxx, uv * xv % MOD, uv * xx % MOD, uv * xxx % MOD]
+            + [wVi * rxx % MOD for wVi in wV]
             + T_scalars
-            + [w * (proof.t_x - a * b) + r * (xx * (wc + delta) - proof.t_x)]
-            + [-proof.e_blinding - r * proof.t_x_blinding]
+            + [(wv * (t_x - a * b) + r * (xx * (wc + delta) % MOD - t_x)) % MOD]
+            + [(-int(proof.e_blinding) - r * int(proof.t_x_blinding)) % MOD]
             + g_scalars
             + h_scalars
-            + u_sq
-            + u_inv_sq
+            + [int(v) for v in u_sq]
+            + [int(v) for v in u_inv_sq]
         )
         points = (
             [proof.A_I1, proof.A_O1, proof.S1, proof.A_I2, proof.A_O2, proof.S2]
