@@ -74,3 +74,29 @@ def test_transcript_bytes_encoding():
     assert int.from_bytes(data[:32], "little") == GEN_X
     assert int.from_bytes(data[32:], "little") == GEN_Y
     assert stark_point_to_transcript_bytes(StarkPoint.identity()) == b"\x00" * 64
+
+
+def test_msm_bucket_edge_cases():
+    """Duplicate points in one bucket (forces the batch-affine doubling
+    branch) and P,-P pairs in one bucket (forces cancellation)."""
+    g = StarkPoint.generator()
+    p = g.scalar_mul(Scalar(12345))
+    # same scalar + same point 8x -> all in one bucket, repeated doubling/adds
+    scalars = [Scalar(5)] * 8
+    pts = [p] * 8
+    naive = StarkPoint.identity()
+    for s, q in zip(scalars, pts):
+        naive = naive + q.scalar_mul(s)
+    assert StarkPoint.msm(scalars, pts) == naive
+
+    # P and -P with the same scalar -> cancellation inside a bucket
+    scalars = [Scalar(7), Scalar(7), Scalar(7)]
+    pts = [p, -p, g]
+    naive = g.scalar_mul(Scalar(7))
+    assert StarkPoint.msm(scalars, pts) == naive
+
+    # cancellation then refill
+    scalars = [Scalar(3)] * 4
+    pts = [p, -p, p, p]
+    naive = p.scalar_mul(Scalar(6))
+    assert StarkPoint.msm(scalars, pts) == naive
