@@ -198,6 +198,7 @@ def main():
     bench_r1cs(args.max_r1cs, args.reps)
     bench_shuffle(args.max_shuffle, args.reps)
     bench_rangeproof(args.reps)
+    bench_mpc(args.reps)
 
     out = os.path.join(os.path.dirname(__file__), "results.json")
     with open(out, "w") as fh:
@@ -207,3 +208,63 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_mpc(reps):
+    """2-party collaborative proof over the in-process transport
+    (the reference measures this with its integration harness)."""
+    import threading
+
+    from mpc_bulletproof_tpu.models.r1cs import Verifier
+    from mpc_bulletproof_tpu.models.r1cs.gadgets import example_gadget
+    from mpc_bulletproof_tpu.models.r1cs_mpc import MpcProver
+    from mpc_bulletproof_tpu.models.r1cs.linear_combination import (
+        LinearCombination, Variable,
+    )
+    from mpc_bulletproof_tpu.parallel.beaver import PartyIdBeaverSource
+    from mpc_bulletproof_tpu.parallel.fabric import MpcFabric
+    from mpc_bulletproof_tpu.parallel.network import make_local_pair
+
+    gens = BulletproofGens(16, 1)
+    blind = [rand_scalar() for _ in range(5)]
+    c2 = LinearCombination({Variable.one(): Scalar(9)})
+
+    def one_round():
+        net0, net1 = make_local_pair()
+        fabrics = [MpcFabric(net0, PartyIdBeaverSource(0)),
+                   MpcFabric(net1, PartyIdBeaverSource(1))]
+        results = [None, None]
+
+        def party(i):
+            fabric = fabrics[i]
+            t = HashChainTranscript(b"bench-mpc")
+            prover = MpcProver(fabric, PC, t)
+            if fabric.party_id == 0:
+                c0, v0 = prover.batch_commit(0, [Scalar(3), Scalar(6), Scalar(40)], blind[:3])
+                c1, v1 = prover.batch_commit(1, None, None, count=2)
+            else:
+                c0, v0 = prover.batch_commit(0, None, None, count=3)
+                c1, v1 = prover.batch_commit(1, [Scalar(4), Scalar(1)], blind[3:])
+            example_gadget(prover, v0[0].to_lc(), v1[0].to_lc(), v0[1].to_lc(),
+                           v1[1].to_lc(), v0[2].to_lc(), c2)
+            results[i] = (prover.prove(gens).open(), c0 + c1)
+
+        threads = [threading.Thread(target=party, args=(i,)) for i in (0, 1)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        return results[0]
+
+    record("mpc-r1cs-prove", "example circuit, 2 parties", timeit(one_round, reps))
+    proof, comms = one_round()
+
+    def verify():
+        vt = HashChainTranscript(b"bench-mpc")
+        verifier = Verifier(PC, vt)
+        vvars = [verifier.commit(c) for c in comms]
+        example_gadget(verifier, vvars[0].to_lc(), vvars[3].to_lc(), vvars[1].to_lc(),
+                       vvars[4].to_lc(), vvars[2].to_lc(), c2)
+        verifier.verify(proof, gens)
+
+    record("mpc-r1cs-verify", "opened proof, plain verifier", timeit(verify, reps))
