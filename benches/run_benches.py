@@ -24,6 +24,14 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# This suite measures the host+native path; the device path is benchmarked
+# separately (bench.py aux metrics, scaling_bench.py).  Opt out with
+# BENCH_BACKEND=device.
+os.environ.setdefault(
+    "BP_FORCE_BACKEND",
+    "device" if os.environ.get("BENCH_BACKEND") == "device" else "host",
+)
+
 from mpc_bulletproof_tpu import (
     BulletproofGens,
     HashChainTranscript,
@@ -180,36 +188,6 @@ def bench_rangeproof(reps):
         )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--max-ipp", type=int, default=12)
-    ap.add_argument("--max-r1cs", type=int, default=10)
-    ap.add_argument("--max-shuffle", type=int, default=8)
-    ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--quick", action="store_true")
-    args = ap.parse_args()
-    if args.quick:
-        args.max_ipp, args.max_r1cs, args.max_shuffle, args.reps = 8, 6, 5, 1
-
-    print("| group | config | time |")
-    print("|---|---|---|")
-    bench_generators(args.reps)
-    bench_ipp(args.max_ipp, args.reps)
-    bench_r1cs(args.max_r1cs, args.reps)
-    bench_shuffle(args.max_shuffle, args.reps)
-    bench_rangeproof(args.reps)
-    bench_mpc(args.reps)
-
-    out = os.path.join(os.path.dirname(__file__), "results.json")
-    with open(out, "w") as fh:
-        json.dump(RESULTS, fh, indent=1)
-    print(f"\nwrote {out}", file=sys.stderr)
-
-
-if __name__ == "__main__":
-    main()
-
-
 def bench_mpc(reps):
     """2-party collaborative proof over the in-process transport
     (the reference measures this with its integration harness)."""
@@ -268,3 +246,33 @@ def bench_mpc(reps):
         verifier.verify(proof, gens)
 
     record("mpc-r1cs-verify", "opened proof, plain verifier", timeit(verify, reps))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-ipp", type=int, default=12)
+    ap.add_argument("--max-r1cs", type=int, default=10)
+    ap.add_argument("--max-shuffle", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.max_ipp, args.max_r1cs, args.max_shuffle, args.reps = 8, 6, 5, 1
+
+    print("| group | config | time |")
+    print("|---|---|---|")
+    bench_generators(args.reps)
+    bench_ipp(args.max_ipp, args.reps)
+    bench_r1cs(args.max_r1cs, args.reps)
+    bench_shuffle(args.max_shuffle, args.reps)
+    bench_rangeproof(args.reps)
+    bench_mpc(args.reps)
+
+    out = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out, "w") as fh:
+        json.dump(RESULTS, fh, indent=1)
+    print(f"\nwrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
