@@ -248,3 +248,37 @@ def test_shuffle_k42():
     rng.shuffle(outputs)
     proof, in_c, out_c = shuffle_prove(inputs, outputs)
     shuffle_verify(proof, in_c, out_c)
+
+
+def test_zero_multiplier_circuit():
+    """Constraints over committed variables only (no multiplication gates)."""
+    transcript = HashChainTranscript(b"nogates")
+    prover = Prover(PC_GENS, transcript)
+    c1, v1 = prover.commit(Scalar(5), rand_scalar())
+    c2, v2 = prover.commit(Scalar(5), rand_scalar())
+    prover.constrain(v1 - v2)
+    proof = prover.prove(BP_GENS)
+
+    vt = HashChainTranscript(b"nogates")
+    verifier = Verifier(PC_GENS, vt)
+    w1, w2 = verifier.commit(c1), verifier.commit(c2)
+    verifier.constrain(w1 - w2)
+    verifier.verify(proof, BP_GENS)
+
+
+def test_odd_allocate_pending_multiplier():
+    """allocate() an odd number of variables: the half-assigned multiplier
+    pairs with an implicit zero (reference constraint_system.rs:98-108)."""
+    transcript = HashChainTranscript(b"odd")
+    prover = Prover(PC_GENS, transcript)
+    vals = [Scalar(2), Scalar(3), Scalar(4)]
+    vars_ = [prover.allocate(v) for v in vals]
+    # 2 + 3 + 4 = 9
+    prover.constrain(vars_[0] + vars_[1] + vars_[2] - 9)
+    proof = prover.prove(BP_GENS)
+
+    vt = HashChainTranscript(b"odd")
+    verifier = Verifier(PC_GENS, vt)
+    wvars = [verifier.allocate() for _ in range(3)]
+    verifier.constrain(wvars[0] + wvars[1] + wvars[2] - 9)
+    verifier.verify(proof, BP_GENS)
