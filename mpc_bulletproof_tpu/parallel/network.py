@@ -41,11 +41,32 @@ class TwoPartyNetwork:
         raise NotImplementedError
 
     def exchange_bytes(self, payload: bytes) -> bytes:
-        """Send ours, receive the peer's (deadlock-free ordering)."""
-        # Queue/TCP buffering make a plain send-then-recv safe for the
-        # message sizes the protocol uses.
-        self.send_bytes(payload)
-        return self.recv_bytes()
+        """Send ours, receive the peer's.
+
+        Send and receive run concurrently: with both parties sending first,
+        a payload larger than the transport buffer would deadlock two
+        blocking ``sendall`` calls (e.g. the batched Beaver round of a large
+        circuit).
+        """
+        import threading
+
+        send_error: list[Exception] = []
+
+        def do_send():
+            try:
+                self.send_bytes(payload)
+            except Exception as exc:  # noqa: BLE001 - re-raised below
+                send_error.append(exc)
+
+        sender = threading.Thread(target=do_send)
+        sender.start()
+        try:
+            received = self.recv_bytes()
+        finally:
+            sender.join()
+        if send_error:
+            raise send_error[0]
+        return received
 
     def close(self) -> None:
         pass

@@ -451,3 +451,32 @@ def test_mpc_commit_preshared_roundtrip():
     _, _, o = verifier.multiply(var.to_lc(), _const_lc(1))
     verifier.constrain(o.to_lc() - _const_lc(42))
     verifier.verify(proof, BP)
+
+
+def test_tcp_large_batch_exchange_no_deadlock():
+    """Exchange payloads larger than socket buffers over real TCP."""
+    import threading
+
+    from mpc_bulletproof_tpu.parallel.network import TcpTwoPartyNet
+
+    port = 9871
+    n0 = TcpTwoPartyNet(0, ("127.0.0.1", port), ("127.0.0.1", port))
+    n1 = TcpTwoPartyNet(1, ("127.0.0.1", port), ("127.0.0.1", port))
+    results = [None, None]
+
+    def party(i, net):
+        net.connect()
+        payload = bytes([i]) * (4 * 1024 * 1024)  # 4 MiB each way
+        results[i] = net.exchange_bytes(payload)
+        net.close()
+
+    threads = [
+        threading.Thread(target=party, args=(0, n0)),
+        threading.Thread(target=party, args=(1, n1)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=60)
+    assert results[0] == bytes([1]) * (4 * 1024 * 1024)
+    assert results[1] == bytes([0]) * (4 * 1024 * 1024)
