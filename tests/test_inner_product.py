@@ -81,3 +81,24 @@ def test_wrong_transcript_label_fails():
     t2 = HashChainTranscript(b"different")
     with pytest.raises(VerificationError):
         proof.verify(n, t2, Gf, Hf, P, Q, G, H)
+
+
+def test_folding_and_coefficient_provers_agree():
+    """The classic folding prover (reference structure) and the
+    coefficient-tracking prover are algebraically identical: same
+    transcript, same proof bytes."""
+    from mpc_bulletproof_tpu.models.inner_product import (
+        _create_host,
+        _create_host_folding,
+    )
+
+    n = 16
+    Q, Gf, Hf, G, H, a, b, P = setup(n)
+    t1 = HashChainTranscript(b"agree")
+    t1.innerproduct_domain_sep(n)
+    p1 = _create_host_folding(t1, Q, Gf, Hf, list(G), list(H), list(a), list(b))
+    t2 = HashChainTranscript(b"agree")
+    t2.innerproduct_domain_sep(n)
+    p2 = _create_host(t2, Q, Gf, Hf, list(G), list(H), list(a), list(b))
+    assert p1.to_bytes() == p2.to_bytes()
+    assert t1.state == t2.state

@@ -480,3 +480,50 @@ def test_tcp_large_batch_exchange_no_deadlock():
         th.join(timeout=60)
     assert results[0] == bytes([1]) * (4 * 1024 * 1024)
     assert results[1] == bytes([0]) * (4 * 1024 * 1024)
+
+
+def test_mpc_range_gadget():
+    """Collaborative bit-decomposition range proof: the owner shares its
+    value and bit assignments; constraints run over shared values; the
+    opened proof verifies under the plain verifier with the public gadget."""
+    from mpc_bulletproof_tpu.models.r1cs.gadgets import range_check_gadget
+
+    n_bits = 8
+    v = 173  # in [0, 2^8)
+    v_blind = rand_scalar()
+
+    def fn(fabric):
+        transcript = HashChainTranscript(b"mpc-range")
+        prover = MpcProver(fabric, PC, transcript)
+        if fabric.party_id == 0:
+            comms, variables = prover.batch_commit(0, [Scalar(v)], [v_blind])
+        else:
+            comms, variables = prover.batch_commit(0, None, None, count=1)
+        v_var = variables[0]
+
+        # Owner shares each bit pair (1-b, b); both parties allocate them.
+        lc = v_var.to_lc()
+        exp_2 = Scalar(1)
+        for i in range(n_bits):
+            bit = (v >> i) & 1
+            pair = fabric.batch_share_scalars(
+                [Scalar(1 - bit), Scalar(bit)] if fabric.party_id == 0 else None,
+                owner=0, count=2,
+            )
+            a_var, b_var, o_var = prover.allocate_multiplier((pair[0], pair[1]))
+            prover.constrain(o_var.to_lc())
+            prover.constrain(a_var + (b_var - 1))
+            lc = lc - b_var * exp_2
+            exp_2 = exp_2 + exp_2
+        prover.constrain(lc)
+        return prover.prove(BP).open(), comms[0]
+
+    (proof, comm), _ = run_two_parties(fn, fn)
+
+    vt = HashChainTranscript(b"mpc-range")
+    verifier = Verifier(PC, vt)
+    v_var = verifier.commit(comm)
+    from mpc_bulletproof_tpu.models.r1cs.gadgets import range_check_gadget as rg
+
+    rg(verifier, v_var.to_lc(), None, n_bits)
+    verifier.verify(proof, BP)
