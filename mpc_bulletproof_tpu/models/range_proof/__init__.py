@@ -48,6 +48,16 @@ def _msm(scalars, points) -> StarkPoint:
     return StarkPoint.msm(scalars, points)
 
 
+def _party_map(fn, items):
+    """Map over parties, threaded when it pays (native calls drop the GIL)."""
+    if len(items) < 4:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+        return list(pool.map(fn, items))
+
+
 @dataclass
 class RangeProof:
     A: StarkPoint
@@ -86,14 +96,16 @@ class RangeProof:
         parties = [
             Party.new(bp_gens, pc_gens, v, b, n) for v, b in zip(values, blindings)
         ]
+        # Party phases are independent; the native MSMs release the GIL, so a
+        # thread pool runs them in parallel for larger aggregations.
         positioned, bit_commitments = zip(
-            *(p.assign_position(j) for j, p in enumerate(parties))
+            *_party_map(lambda jp: jp[1].assign_position(jp[0]), list(enumerate(parties)))
         )
         value_commitments = [bc.V_j for bc in bit_commitments]
 
         dealer, bit_challenge = dealer.receive_bit_commitments(list(bit_commitments))
         polied, poly_commitments = zip(
-            *(p.apply_challenge(bit_challenge) for p in positioned)
+            *_party_map(lambda p: p.apply_challenge(bit_challenge), list(positioned))
         )
         dealer, poly_challenge = dealer.receive_poly_commitments(list(poly_commitments))
         shares = [p.apply_challenge(poly_challenge) for p in polied]
