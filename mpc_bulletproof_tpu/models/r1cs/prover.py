@@ -26,7 +26,7 @@ import secrets
 from ...generators import BulletproofGens, PedersenGens
 from ...ops import backend
 from ...ops.curve import StarkPoint
-from ...ops.field import Scalar, exp_iter
+from ...ops.field import Scalar
 from ...ops.poly import Poly6, VecPoly3
 from ...transcript import HashChainTranscript
 from ...utils.errors import InvalidGeneratorsLengthError, MissingAssignmentError
@@ -43,7 +43,6 @@ from .linear_combination import (
     MULT_OUT,
     MULT_RIGHT,
     ONE,
-    ZERO,
     LinearCombination,
     Variable,
 )

@@ -8,13 +8,9 @@ from __future__ import annotations
 from ...generators import BulletproofGens, PedersenGens
 from ...ops import backend
 from ...ops.curve import StarkPoint
-from ...ops.field import Scalar, inner_product
+from ...ops.field import Scalar
 from ...transcript import HashChainTranscript
-from ...utils.errors import (
-    InvalidGeneratorsLengthError,
-    MissingAssignmentError,
-    VerificationError,
-)
+from ...utils.errors import InvalidGeneratorsLengthError, VerificationError
 from .constraint_system import (
     CircuitWeights,
     RandomizableConstraintSystem,

@@ -25,7 +25,7 @@ from ...constants import SCALAR_BYTES, STARK_POINT_BYTES
 from ...generators import BulletproofGens, PedersenGens
 from ...ops import backend
 from ...ops.curve import StarkPoint
-from ...ops.field import Scalar, scalar_powers, sum_of_powers
+from ...ops.field import Scalar, sum_of_powers
 from ...transcript import HashChainTranscript
 from ...utils.errors import FormatError, MPCError, VerificationError
 from ..inner_product import InnerProductProof
@@ -85,7 +85,7 @@ class RangeProof:
         """Aggregated proof that every value is in [0, 2^n).
 
         Runs the party/dealer aggregation protocol locally (the same state
-        machines serve a真 distributed deployment through
+        machines serve a distributed deployment too, through
         :mod:`.party` / :mod:`.dealer`).
         """
         if len(values) != len(blindings):

@@ -17,7 +17,7 @@ import secrets
 
 from ...generators import BulletproofGens, PedersenGens
 from ...ops.curve import StarkPoint
-from ...ops.field import Scalar, scalar_powers
+from ...ops.field import Scalar
 from ...ops.poly import VecPoly1
 from ...utils.errors import MPCError
 from .messages import BitChallenge, BitCommitment, PolyChallenge, PolyCommitment, ProofShare

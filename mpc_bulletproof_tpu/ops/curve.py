@@ -20,7 +20,6 @@ constant of the reference):
 
 from __future__ import annotations
 
-import secrets
 from typing import Sequence
 
 from ..constants import ALPHA, BETA, GEN_X, GEN_Y, P, R, STARK_POINT_BYTES

@@ -36,11 +36,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import curve_jax as cj
 from . import kernels
-from .limb import BASE_BITS, NL, ints_to_limbs
+from .limb import BASE_BITS, NL
 
 FIELD_BITS = 252
 

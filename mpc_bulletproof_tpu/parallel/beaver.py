@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import abc
 
-from ..constants import R
 from ..ops.field import Scalar
 
 PARTY0 = 0

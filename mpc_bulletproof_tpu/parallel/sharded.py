@@ -19,8 +19,6 @@ the benchmarks on real meshes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -33,7 +31,7 @@ except ImportError:  # pragma: no cover
 from ..ops import curve_jax as cj
 from ..ops import kernels
 from ..ops import limb
-from ..ops.limb import NL, WIDE, FR, ModParams
+from ..ops.limb import WIDE, FR, ModParams
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
