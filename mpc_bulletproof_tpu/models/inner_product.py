@@ -230,7 +230,7 @@ def _create_host(transcript, Q, G_factors, H_factors, G, H, a, b):
     """
     n = len(G)
     if n == 1:
-        return InnerProductProof([], [], a[0], b[0])
+        return InnerProductProof([], [], Scalar(int(a[0])), Scalar(int(b[0])))
 
     from ..utils import native
 

@@ -242,8 +242,8 @@ class Prover(RandomizableConstraintSystem):
         i_blinding1 = rng.random_scalar()
         o_blinding1 = rng.random_scalar()
         s_blinding1 = rng.random_scalar()
-        s_L1 = [rng.random_scalar() for _ in range(n1)]
-        s_R1 = [rng.random_scalar() for _ in range(n1)]
+        s_L1 = rng.random_scalars(n1)
+        s_R1 = rng.random_scalars(n1)
 
         # Phase-1 commitments (the HOT MSMs).
         B_b = self.pc_gens.B_blinding
@@ -274,8 +274,8 @@ class Prover(RandomizableConstraintSystem):
             s_blinding2 = rng.random_scalar()
         else:
             i_blinding2 = o_blinding2 = s_blinding2 = Scalar(0)
-        s_L2 = [rng.random_scalar() for _ in range(n2)]
-        s_R2 = [rng.random_scalar() for _ in range(n2)]
+        s_L2 = rng.random_scalars(n2)
+        s_R2 = rng.random_scalars(n2)
 
         if has_phase2:
             A_I2 = _msm(
@@ -299,28 +299,50 @@ class Prover(RandomizableConstraintSystem):
 
         wL, wR, wO, wV = self._flattened_constraints(z)
 
-        l_poly = VecPoly3.zero(n)
-        r_poly = VecPoly3.zero(n)
-        y_inv = y.inverse()
-        exp_y_inv = []
-        cur = Scalar(1)
-        for _ in range(padded_n):
-            exp_y_inv.append(cur)
-            cur = cur * y_inv
+        # Numeric core on raw ints (profiling: Scalar-object overhead
+        # dominates these O(n) loops otherwise).
+        MOD = Scalar.MODULUS
+        yv = int(y)
+        y_inv = pow(yv, -1, MOD)
+        exp_y_inv = [1] * padded_n
+        for i in range(1, padded_n):
+            exp_y_inv[i] = exp_y_inv[i - 1] * y_inv % MOD
 
-        exp_y = Scalar(1)
-        sL = s_L1 + s_L2
-        sR = s_R1 + s_R2
+        aL = [int(v) for v in self.a_L]
+        aR = [int(v) for v in self.a_R]
+        aO = [int(v) for v in self.a_O]
+        wLi = [int(v) for v in wL]
+        wRi = [int(v) for v in wR]
+        wOi = [int(v) for v in wO]
+        sL = [int(v) for v in s_L1] + [int(v) for v in s_L2]
+        sR = [int(v) for v in s_R1] + [int(v) for v in s_R2]
+
+        l1 = [0] * n
+        l2 = aO
+        l3 = sL
+        r0 = [0] * n
+        r1 = [0] * n
+        r3 = [0] * n
+        exp_y = 1
         for i in range(n):
-            l_poly.c1[i] = self.a_L[i] + exp_y_inv[i] * wR[i]
-            l_poly.c2[i] = self.a_O[i]
-            l_poly.c3[i] = sL[i]
-            r_poly.c0[i] = wO[i] - exp_y
-            r_poly.c1[i] = exp_y * self.a_R[i] + wL[i]
-            r_poly.c3[i] = exp_y * sR[i]
-            exp_y = exp_y * y
+            l1[i] = (aL[i] + exp_y_inv[i] * wRi[i]) % MOD
+            r0[i] = (wOi[i] - exp_y) % MOD
+            r1[i] = (exp_y * aR[i] + wLi[i]) % MOD
+            r3[i] = exp_y * sR[i] % MOD
+            exp_y = exp_y * yv % MOD
 
-        t_poly = VecPoly3.special_inner_product(l_poly, r_poly)
+        def ip(u, v):
+            return sum(p * q for p, q in zip(u, v)) % MOD
+
+        # t(x) coefficients: special inner product with l0 = 0, r2 = 0.
+        t_poly = Poly6(
+            Scalar(ip(l1, r0)),
+            Scalar((ip(l1, r1) + ip(l2, r0)) % MOD),
+            Scalar((ip(l2, r1) + ip(l3, r0)) % MOD),
+            Scalar((ip(l1, r3) + ip(l3, r1)) % MOD),
+            Scalar(ip(l2, r3)),
+            Scalar(ip(l3, r3)),
+        )
 
         t_1_blinding = rng.random_scalar()
         t_3_blinding = rng.random_scalar()
@@ -353,14 +375,22 @@ class Prover(RandomizableConstraintSystem):
             t_4_blinding, t_5_blinding, t_6_blinding,
         )
 
+        xv = int(x)
         t_x = t_poly.eval(x)
         t_x_blinding = t_blinding_poly.eval(x)
-        l_vec = l_poly.eval(x) + [Scalar(0)] * pad
-        r_vec = r_poly.eval(x) + [Scalar(0)] * pad
+        # l(x) = l1 x + l2 x^2 + l3 x^3;  r(x) = r0 + r1 x + r3 x^3
+        xx = xv * xv % MOD
+        xxx = xv * xx % MOD
+        l_vec = [
+            (l1[i] * xv + l2[i] * xx + l3[i] * xxx) % MOD for i in range(n)
+        ] + [0] * pad
+        r_vec = [
+            (r0[i] + r1[i] * xv + r3[i] * xxx) % MOD for i in range(n)
+        ] + [0] * pad
         # Pad r with -y^i so the IPP relation holds on the padded circuit.
         for i in range(n, padded_n):
-            r_vec[i] = -exp_y
-            exp_y = exp_y * y
+            r_vec[i] = -exp_y % MOD
+            exp_y = exp_y * yv % MOD
 
         i_blinding = i_blinding1 + u * i_blinding2
         o_blinding = o_blinding1 + u * o_blinding2
@@ -374,8 +404,9 @@ class Prover(RandomizableConstraintSystem):
         w = t.challenge_scalar(b"w")
         Q = w * self.pc_gens.B
 
-        G_factors = [Scalar(1)] * n1 + [u] * (n2 + pad)
-        H_factors = [yi * uf for yi, uf in zip(exp_y_inv, G_factors)]
+        uv = int(u)
+        G_factors = [1] * n1 + [uv] * (n2 + pad)
+        H_factors = [yi * uf % MOD for yi, uf in zip(exp_y_inv, G_factors)]
 
         ipp_proof = InnerProductProof.create(
             t, Q, G_factors, H_factors,

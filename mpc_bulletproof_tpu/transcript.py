@@ -149,6 +149,16 @@ class TranscriptRng:
         self.counter = 0
 
     def randbytes(self, n: int) -> bytes:
+        nblocks = (n + 31) // 32
+        try:
+            from .utils import native
+
+            if native.available():
+                out = native.rng_fill(self.state, self.counter, nblocks)
+                self.counter += nblocks
+                return out[:n]
+        except Exception:  # pragma: no cover - fall through to pure python
+            pass
         out = bytearray()
         while len(out) < n:
             out += keccak256(self.state + self.counter.to_bytes(8, "little"))
@@ -157,6 +167,14 @@ class TranscriptRng:
 
     def random_scalar(self) -> Scalar:
         return Scalar(int.from_bytes(self.randbytes(48), "big") % R)
+
+    def random_scalars(self, k: int) -> list[Scalar]:
+        """Batch: one native call fills all blocks."""
+        raw = self.randbytes(48 * k)
+        return [
+            Scalar(int.from_bytes(raw[48 * i : 48 * (i + 1)], "big") % R)
+            for i in range(k)
+        ]
 
 
 class MpcTranscript:

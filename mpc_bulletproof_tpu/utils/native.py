@@ -288,3 +288,16 @@ def sum_selected(bits, points):
     lib.bp_sum_selected(_buf(b), _buf(xs), _buf(ys), _buf(inf), n,
                         _buf(ox), _buf(oy), _buf(oi))
     return _unpack_points(ox[None], oy[None], oi)[0]
+
+
+def rng_fill(state: bytes, counter: int, nblocks: int) -> bytes:
+    """Batched counter-mode keccak blocks (TranscriptRng backend)."""
+    lib = _lib()
+    lib.bp_rng_fill.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    st = np.frombuffer(state, dtype=np.uint8).copy()
+    out = np.zeros(32 * nblocks, dtype=np.uint8)
+    lib.bp_rng_fill(_buf(st), counter, nblocks, _buf(out))
+    return out.tobytes()

@@ -858,3 +858,15 @@ extern "C" void bp_sum_selected(const u8 *bits, const u8 *xs, const u8 *ys,
     }
     pt_to_affine(out_x, out_y, out_inf, acc);
 }
+
+// ---- counter-mode keccak RNG fill: out[i] = keccak(state || LE64(ctr+i)) ----
+extern "C" void bp_rng_fill(const u8 state[32], u64 counter_start,
+                            size_t nblocks, u8 *out) {
+    u8 buf[40];
+    memcpy(buf, state, 32);
+    for (size_t i = 0; i < nblocks; ++i) {
+        u64 ctr = counter_start + i;
+        memcpy(buf + 32, &ctr, 8);  // little-endian on this target
+        bp_keccak256(buf, 40, out + 32 * i);
+    }
+}
