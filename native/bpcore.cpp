@@ -870,3 +870,31 @@ extern "C" void bp_rng_fill(const u8 state[32], u64 counter_start,
         bp_keccak256(buf, 40, out + 32 * i);
     }
 }
+
+// ---- microbenchmark hooks ----
+extern "C" u64 bp_bench_fp_mul(u64 iters) {
+    Fp a = P_R2, b = FP_ONE;
+    for (u64 i = 0; i < iters; ++i) {
+        Fp t;
+        fp_mul(t, a, b);
+        b = a; a = t;
+    }
+    return a.v[0];
+}
+
+extern "C" u64 bp_bench_pt_add(u64 iters) {
+    Pt p, q;
+    Fp gx = {{0x3d723d8bc943cfcaULL, 0xdeacfd9b0d1819e0ULL, 0x7beced415a40f0c7ULL, 0x01ef15c18599971bULL}};
+    Fp gy = {{0x2873000c36e8dc1fULL, 0xde53ecd11abe43a3ULL, 0xb7be4801df46ec62ULL, 0x005668060aa49730ULL}};
+    Fp gx_m, gy_m;
+    fp_mul(gx_m, gx, P_R2);
+    fp_mul(gy_m, gy, P_R2);
+    p.X = gx_m; p.Y = gy_m; p.Z = FP_ONE;
+    pt_dbl(q, p);
+    for (u64 i = 0; i < iters; ++i) {
+        Pt t;
+        pt_add(t, q, p);
+        q = t;
+    }
+    return q.X.v[0];
+}
