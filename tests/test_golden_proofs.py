@@ -1,0 +1,156 @@
+"""Golden proof vectors: stored proof bytes must keep verifying.
+
+Pins the entire byte-level stack — transcript chain, challenge derivation,
+point compression, proof codecs — across refactors ("bit-identical proofs"
+north star, BASELINE.md).  On first run the vectors are generated and
+committed; any change that breaks verification of the stored bytes is a
+proof-format break.
+
+Also fuzzes the codecs: mutated proof bytes must raise FormatError or
+VerificationError, never crash or verify.
+"""
+
+import json
+import pathlib
+import random
+
+import pytest
+
+from mpc_bulletproof_tpu import (
+    BulletproofGens,
+    HashChainTranscript,
+    PedersenGens,
+    Scalar,
+    StarkPoint,
+)
+from mpc_bulletproof_tpu.models.inner_product import InnerProductProof
+from mpc_bulletproof_tpu.models.r1cs import Prover, R1CSProof, Verifier
+from mpc_bulletproof_tpu.models.r1cs.gadgets import example_gadget, shuffle_gadget
+from mpc_bulletproof_tpu.models.range_proof import RangeProof
+from mpc_bulletproof_tpu.models.r1cs.linear_combination import LinearCombination, Variable
+from mpc_bulletproof_tpu.utils.errors import BulletproofError
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "proofs.json"
+PC = PedersenGens()
+BP = BulletproofGens(64, 4)
+
+rng = random.Random(0x601D)
+
+
+def rand_scalar():
+    return Scalar(rng.getrandbits(260))
+
+
+def _load():
+    if GOLDEN.exists():
+        return json.loads(GOLDEN.read_text())
+    return {}
+
+
+def _store(data):
+    GOLDEN.parent.mkdir(exist_ok=True)
+    GOLDEN.write_text(json.dumps(data, indent=1, sort_keys=True))
+
+
+def test_golden_range_proof():
+    golden = _load()
+    if "range_proof" not in golden:
+        t = HashChainTranscript(b"golden-rp")
+        proof, V = RangeProof.prove_single(BP, PC, t, 1037578891, Scalar(0xB11D), 32)
+        golden["range_proof"] = {
+            "proof": proof.to_bytes().hex(),
+            "commitment": V.to_bytes().hex(),
+        }
+        _store(golden)
+    entry = golden["range_proof"]
+    proof = RangeProof.from_bytes(bytes.fromhex(entry["proof"]))
+    V = StarkPoint.from_bytes(bytes.fromhex(entry["commitment"]))
+    t = HashChainTranscript(b"golden-rp")
+    proof.verify_single(BP, PC, t, V, 32)
+
+
+def _example_circuit(cs, vars_):
+    c2 = LinearCombination({Variable.one(): Scalar(9)})
+    example_gadget(
+        cs,
+        vars_[0].to_lc(), vars_[1].to_lc(), vars_[2].to_lc(),
+        vars_[3].to_lc(), vars_[4].to_lc(), c2,
+    )
+
+
+def test_golden_r1cs_proof():
+    golden = _load()
+    if "r1cs" not in golden:
+        t = HashChainTranscript(b"golden-r1cs")
+        prover = Prover(PC, t)
+        pairs = [
+            prover.commit(Scalar(v), Scalar(1000 + i))
+            for i, v in enumerate((3, 4, 6, 1, 40))
+        ]
+        _example_circuit(prover, [p[1] for p in pairs])
+        proof = prover.prove(BP)
+        golden["r1cs"] = {
+            "proof": proof.to_bytes().hex(),
+            "commitments": [p[0].to_bytes().hex() for p in pairs],
+        }
+        _store(golden)
+    entry = golden["r1cs"]
+    proof = R1CSProof.from_bytes(bytes.fromhex(entry["proof"]))
+    comms = [StarkPoint.from_bytes(bytes.fromhex(c)) for c in entry["commitments"]]
+    t = HashChainTranscript(b"golden-r1cs")
+    verifier = Verifier(PC, t)
+    vvars = [verifier.commit(c) for c in comms]
+    _example_circuit(verifier, vvars)
+    verifier.verify(proof, BP)
+
+
+def test_fuzz_proof_codecs_never_crash():
+    """Random mutations of valid proof bytes: decoder/verifier must reject
+    with a library error (or verify only if the mutation is a no-op)."""
+    t = HashChainTranscript(b"fuzz")
+    proof, V = RangeProof.prove_single(BP, PC, t, 12345, rand_scalar(), 16)
+    base = bytearray(proof.to_bytes())
+    mut_rng = random.Random(7)
+    for _ in range(60):
+        data = bytearray(base)
+        for _ in range(mut_rng.randrange(1, 4)):
+            data[mut_rng.randrange(len(data))] ^= 1 << mut_rng.randrange(8)
+        try:
+            parsed = RangeProof.from_bytes(bytes(data))
+            tv = HashChainTranscript(b"fuzz")
+            parsed.verify_single(BP, PC, tv, V, 16)
+            assert bytes(data) == bytes(base), "mutated proof verified"
+        except BulletproofError:
+            pass  # expected: FormatError or VerificationError
+
+    # truncations / extensions
+    for cut in (0, 1, 31, 33, len(base) - 1):
+        try:
+            RangeProof.from_bytes(bytes(base[:cut]))
+        except BulletproofError:
+            pass
+    try:
+        RangeProof.from_bytes(bytes(base) + b"\x00" * 32)
+    except BulletproofError:
+        pass
+
+
+def test_fuzz_ipp_codec():
+    n = 8
+    gens = BP.share(0)
+    a = [rand_scalar() for _ in range(n)]
+    b = [rand_scalar() for _ in range(n)]
+    t = HashChainTranscript(b"fuzz-ipp")
+    proof = InnerProductProof.create(
+        t, StarkPoint.generator(), [Scalar(1)] * n, [Scalar(1)] * n,
+        gens.G(n), gens.H(n), a, b,
+    )
+    base = proof.to_bytes()
+    mut_rng = random.Random(8)
+    for _ in range(40):
+        data = bytearray(base)
+        data[mut_rng.randrange(len(data))] ^= 0xFF
+        try:
+            InnerProductProof.from_bytes(bytes(data))
+        except BulletproofError:
+            pass
