@@ -15,11 +15,11 @@ for n in (1 << 18, 1 << 20):
     scl = jnp.asarray(cj.scalars_from_host(scl_h))
     t0 = time.time()
     r = msm.msm_device(scl, pts)
-    _ = np.asarray(r[0, 0:1, 0:1])
+    _ = np.asarray(r[0, 0:1])
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(2):
         r = msm.msm_device(scl, pts)
-    _ = np.asarray(r[0, 0:1, 0:1])
+    _ = np.asarray(r[0, 0:1])
     dt = (time.time() - t0) / 2
     print(f"msm n=2^{n.bit_length()-1}: compile {compile_s:.1f}s warm {dt*1e3:.1f}ms -> {n/dt/1e6:.3f} Mpoints/s", flush=True)

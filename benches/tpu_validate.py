@@ -68,7 +68,7 @@ def main():
         t0 = time.time()
         for _ in range(args.reps):
             r = msm.msm_device(scl, pts)
-        _ = np.asarray(r[0, 0:1, 0:1])  # force completion
+        _ = np.asarray(r[0, 0:1])  # force completion
         dt = (time.time() - t0) / args.reps
         line = f"msm n={n}: compile {compile_s:.1f}s warm {dt*1e3:.1f}ms -> {n/dt/1e6:.3f} Mpoints/s"
         if n <= args.check_up_to:
