@@ -141,6 +141,34 @@ class RangeProof:
     ) -> None:
         """Single-MSM aggregated verification (docs/range-proof-protocol.md,
         "Verifier's algorithm").  Raises :class:`VerificationError`."""
+        g_h_scalars, scalars, points = self._verification_terms(
+            bp_gens, pc_gens, transcript, value_commitments, n
+        )
+        m = len(value_commitments)
+        G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
+        H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
+        g_scalars, h_scalars = g_h_scalars
+        mega_check = _msm(
+            scalars + g_scalars + h_scalars, points + G + H
+        )
+        if not mega_check.is_identity():
+            raise VerificationError("range proof failed verification")
+
+    def _verification_terms(
+        self,
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        transcript: HashChainTranscript,
+        value_commitments: list[StarkPoint],
+        n: int,
+    ):
+        """Scalar derivation of the verification MSM.
+
+        Returns ``((g_scalars, h_scalars), unique_scalars, unique_points)``
+        where the g/h lists align with the aggregated generator vectors —
+        the split lets :meth:`verify_batch` merge generator coefficients
+        across proofs into one MSM.
+        """
         m = len(value_commitments)
         if n <= 0 or (n & (n - 1)) or bp_gens.gens_capacity < n:
             raise VerificationError("invalid bitsize")
@@ -213,16 +241,11 @@ class RangeProof:
             value_commitment_scalars.append(exp_z)
             exp_z = exp_z * zv % MOD
 
-        G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
-        H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
-
         scalars = (
             [1, xv, c * xv % MOD, c * xv % MOD * xv % MOD]
             + value_commitment_scalars
             + [basepoint_scalar]
             + [(-e_blinding - c * t_x_blinding) % MOD]
-            + g_scalars
-            + h_scalars
             + [int(u) for u in u_sq]
             + [int(u) for u in u_inv_sq]
         )
@@ -230,14 +253,10 @@ class RangeProof:
             [self.A, self.S, self.T_1, self.T_2]
             + value_commitments
             + [pc_gens.B, pc_gens.B_blinding]
-            + G
-            + H
             + self.ipp_proof.L_vec
             + self.ipp_proof.R_vec
         )
-        mega_check = _msm(scalars, points)
-        if not mega_check.is_identity():
-            raise VerificationError("range proof failed verification")
+        return (g_scalars, h_scalars), scalars, points
 
     def verify_single(
         self,
@@ -248,6 +267,73 @@ class RangeProof:
         n: int,
     ) -> None:
         self.verify_multiple(bp_gens, pc_gens, transcript, [V], n)
+
+    @staticmethod
+    def verify_batch(
+        proofs: list["RangeProof"],
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        transcripts: list[HashChainTranscript],
+        commitment_lists: list[list[StarkPoint]],
+        n: int,
+    ) -> None:
+        """Verify many independent proofs with ONE multiscalar multiplication.
+
+        Each proof's verification equation is weighted by an independent
+        random scalar and summed; the coefficients of the shared generator
+        vectors (and B, B_blinding) collapse, so the MSM size is
+        ``2 n m + sum_k (11 + m + 2 log(nm))`` instead of ``k`` full checks.
+        A capability beyond the reference (batch-verification throughput for
+        verifier-heavy deployments).  Raises :class:`VerificationError` if
+        the batch fails (callers fall back to per-proof verification to
+        identify culprits).
+        """
+        import secrets as _secrets
+
+        if not (len(proofs) == len(transcripts) == len(commitment_lists)):
+            raise VerificationError("batch length mismatch")
+        if not proofs:
+            return
+        m = len(commitment_lists[0])
+        if any(len(cl) != m for cl in commitment_lists):
+            raise VerificationError("batch requires a uniform aggregation size")
+
+        MOD = Scalar.MODULUS
+        nm = n * m
+        g_acc = [0] * nm
+        h_acc = [0] * nm
+        b_acc = 0
+        bb_acc = 0
+        uniq_scalars: list[int] = []
+        uniq_points: list[StarkPoint] = []
+
+        for proof, transcript, comms in zip(proofs, transcripts, commitment_lists):
+            (g_sc, h_sc), scalars, points = proof._verification_terms(
+                bp_gens, pc_gens, transcript, comms, n
+            )
+            rho = int.from_bytes(_secrets.token_bytes(32), "big") % MOD
+            for i in range(nm):
+                g_acc[i] = (g_acc[i] + rho * g_sc[i]) % MOD
+                h_acc[i] = (h_acc[i] + rho * h_sc[i]) % MOD
+            # points layout: [A, S, T1, T2, V..., B, B_blinding, L..., R...]
+            b_idx = 4 + m
+            for idx, (s, p) in enumerate(zip(scalars, points)):
+                if idx == b_idx:
+                    b_acc = (b_acc + rho * s) % MOD
+                elif idx == b_idx + 1:
+                    bb_acc = (bb_acc + rho * s) % MOD
+                else:
+                    uniq_scalars.append(rho * s % MOD)
+                    uniq_points.append(p)
+
+        G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
+        H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
+        mega = _msm(
+            uniq_scalars + [b_acc, bb_acc] + g_acc + h_acc,
+            uniq_points + [pc_gens.B, pc_gens.B_blinding] + G + H,
+        )
+        if not mega.is_identity():
+            raise VerificationError("batch verification failed")
 
     # ------------------------------------------------------------------
     # codec: (9 + 2k) 32-byte elements

@@ -122,3 +122,40 @@ def test_party_states_are_one_shot():
     st, _ = p.assign_position(0)
     with pytest.raises(MPCError):
         p.assign_position(1)
+
+
+def test_batch_verification():
+    """verify_batch: one MSM over many independent proofs."""
+    from mpc_bulletproof_tpu.models.range_proof import RangeProof
+
+    proofs, transcripts, comm_lists = [], [], []
+    for k in range(3):
+        values = [rng.getrandbits(32) for _ in range(4)]
+        blinds = [rand_scalar() for _ in range(4)]
+        t = HashChainTranscript(b"batch-%d" % k)
+        proof, comms = RangeProof.prove_multiple(BP, PC, t, values, blinds, 32)
+        proofs.append(proof)
+        transcripts.append(HashChainTranscript(b"batch-%d" % k))
+        comm_lists.append(comms)
+    RangeProof.verify_batch(proofs, BP, PC, transcripts, comm_lists, 32)
+
+
+def test_batch_verification_rejects_bad_proof():
+    from mpc_bulletproof_tpu.models.range_proof import RangeProof
+
+    proofs, transcripts, comm_lists = [], [], []
+    for k in range(3):
+        t = HashChainTranscript(b"batchbad-%d" % k)
+        proof, comms = RangeProof.prove_multiple(
+            BP, PC, t, [5, 6, 7, 8], [rand_scalar() for _ in range(4)], 32
+        )
+        proofs.append(proof)
+        transcripts.append(HashChainTranscript(b"batchbad-%d" % k))
+        comm_lists.append(comms)
+    # corrupt one commitment in the middle proof
+    comm_lists[1] = list(comm_lists[1])
+    from mpc_bulletproof_tpu import StarkPoint
+
+    comm_lists[1][2] = comm_lists[1][2] + StarkPoint.generator()
+    with pytest.raises(VerificationError):
+        RangeProof.verify_batch(proofs, BP, PC, transcripts, comm_lists, 32)
