@@ -102,6 +102,7 @@ class BulletproofGens:
         self.G_vec: list[list[StarkPoint]] = [[] for _ in range(party_capacity)]
         self.H_vec: list[list[StarkPoint]] = [[] for _ in range(party_capacity)]
         self._device_cache: dict = {}
+        self._pack_cache: dict = {}
         self.increase_capacity(gens_capacity)
 
     def increase_capacity(self, new_capacity: int) -> None:
@@ -116,9 +117,24 @@ class BulletproofGens:
             self.H_vec[i].extend(chain.take(extra))
         self.gens_capacity = new_capacity
         self._device_cache.clear()
+        self._pack_cache.clear()
 
     def share(self, j: int) -> "BulletproofGensShare":
         return BulletproofGensShare(self, j)
+
+    def packed_aggregate(self, n: int, m: int):
+        """Packed-bytes form of the aggregated G/H vectors (cached): the
+        native party kernels consume raw point bytes, and the generator
+        vectors are fixed per (n, m)."""
+        key = (n, m)
+        if key not in self._pack_cache:
+            from .utils import native
+
+            self._pack_cache[key] = (
+                native._pack_points(self.G(n, m)),
+                native._pack_points(self.H(n, m)),
+            )
+        return self._pack_cache[key]
 
     def as_mpc_values(self) -> "BulletproofGensShare":
         """View for the MPC provers (reference src/generators.rs:204-206).

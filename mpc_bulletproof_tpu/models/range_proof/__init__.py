@@ -93,6 +93,13 @@ class RangeProof:
         m = len(values)
         dealer = Dealer.new(bp_gens, pc_gens, transcript, n, m)
 
+        from ...utils import native
+
+        if native.available() and n <= 64:
+            return _prove_multiple_native(
+                dealer, bp_gens, pc_gens, values, blindings, n
+            )
+
         parties = [
             Party.new(bp_gens, pc_gens, v, b, n) for v, b in zip(values, blindings)
         ]
@@ -371,3 +378,82 @@ class RangeProof:
 
     def __eq__(self, other):
         return isinstance(other, RangeProof) and self.to_bytes() == other.to_bytes()
+
+
+def _prove_multiple_native(dealer, bp_gens, pc_gens, values, blindings, n):
+    """Aggregated proving with the party compute phases batched into the
+    native core (same protocol/transcript as the party/dealer state
+    machines — one call per phase across all parties, C++ threads)."""
+    import secrets
+
+    from ...utils import native
+    from .messages import BitCommitment, PolyCommitment, ProofShare
+
+    m = len(values)
+    MOD = Scalar.MODULUS
+    values = [int(v) for v in values]
+    for v in values:
+        if not (0 <= v < (1 << n)):
+            raise MPCError("value out of range for bitsize")
+
+    def rnd():
+        return int.from_bytes(secrets.token_bytes(48), "big") % MOD
+
+    a_blinds = [rnd() for _ in range(m)]
+    s_blinds = [rnd() for _ in range(m)]
+    sL = [rnd() for _ in range(m * n)]
+    sR = [rnd() for _ in range(m * n)]
+    sL_pack = native._pack_scalars(sL)
+    sR_pack = native._pack_scalars(sR)
+    sb_pack = native._pack_scalars(s_blinds)
+
+    V = [pc_gens.commit(Scalar(v), b) for v, b in zip(values, blindings)]
+    ab_pts = native.fixed_base_mul([Scalar(x) for x in a_blinds], pc_gens.B_blinding)
+    ab_pack = native._pack_points(ab_pts)
+    g_pack, h_pack = bp_gens.packed_aggregate(n, m)
+
+    A_list, S_list = native.rp_phase1(
+        m, n, values, sb_pack, sL_pack, sR_pack, g_pack, h_pack, ab_pack,
+        pc_gens.B_blinding,
+    )
+    bcs = [BitCommitment(V[j], A_list[j], S_list[j]) for j in range(m)]
+    dealer, bit_challenge = dealer.receive_bit_commitments(bcs)
+    y, z = bit_challenge.y, bit_challenge.z
+
+    t012, l0, l1, r0, r1 = native.rp_phase2(m, n, values, y, z, sL_pack, sR_pack)
+    t_coeffs = []
+    for j in range(m):
+        row = t012[j].tobytes()
+        t_coeffs.append(tuple(
+            Scalar(int.from_bytes(row[32 * k:32 * k + 32], "little"))
+            for k in range(3)
+        ))
+    t_blinds = [(rnd(), rnd()) for _ in range(m)]
+    pcs = [
+        PolyCommitment(
+            pc_gens.commit(t_coeffs[j][1], Scalar(t_blinds[j][0])),
+            pc_gens.commit(t_coeffs[j][2], Scalar(t_blinds[j][1])),
+        )
+        for j in range(m)
+    ]
+    dealer, poly_challenge = dealer.receive_poly_commitments(pcs)
+    x = poly_challenge.x
+
+    out_l, out_r = native.rp_phase3(m, n, x, l0, l1, r0, r1)
+    zz = z * z
+    shares = []
+    for j in range(m):
+        t0, t1, t2 = t_coeffs[j]
+        t1b, t2b = t_blinds[j]
+        offset_zz = zz * Scalar(pow(z.value, j, MOD))
+        row_l = out_l[j * n:(j + 1) * n].tobytes()
+        row_r = out_r[j * n:(j + 1) * n].tobytes()
+        shares.append(ProofShare(
+            t_x=t0 + x * (t1 + x * t2),
+            t_x_blinding=offset_zz * blindings[j] + x * (Scalar(t1b) + x * Scalar(t2b)),
+            e_blinding=Scalar(a_blinds[j]) + x * Scalar(s_blinds[j]),
+            l_vec=[Scalar(int.from_bytes(row_l[32 * i:32 * i + 32], "little")) for i in range(n)],
+            r_vec=[Scalar(int.from_bytes(row_r[32 * i:32 * i + 32], "little")) for i in range(n)],
+        ))
+    proof = dealer.receive_trusted_shares(shares)
+    return proof, V

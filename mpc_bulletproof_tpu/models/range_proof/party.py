@@ -83,7 +83,8 @@ class PartyAwaitingPosition:
         if native.available():
             sum_G = native.sum_selected(bits, G_j)
             sum_negH = native.sum_selected([1 - b for b in bits], [-h for h in H_j])
-            A_j = sum_G + sum_negH + StarkPoint.msm([a_blinding], [self.pc_gens.B_blinding])
+            blind_term = native.fixed_base_mul([a_blinding], self.pc_gens.B_blinding)[0]
+            A_j = sum_G + sum_negH + blind_term
         else:
             a_L = [Scalar(b) for b in bits]
             a_R = [Scalar(b - 1) for b in bits]

@@ -70,24 +70,29 @@ def keccak256(data: bytes) -> bytes:
     return out.tobytes()
 
 
+_ZERO32 = bytes(32)
+
+
 def _pack_scalars(scalars) -> np.ndarray:
-    out = np.zeros((len(scalars), 32), dtype=np.uint8)
-    for i, s in enumerate(scalars):
-        out[i] = np.frombuffer(int(s).to_bytes(32, "little"), dtype=np.uint8)
-    return out
+    data = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    return np.frombuffer(data, dtype=np.uint8).reshape(len(scalars), 32)
 
 
 def _pack_points(points):
     n = len(points)
-    xs = np.zeros((n, 32), dtype=np.uint8)
-    ys = np.zeros((n, 32), dtype=np.uint8)
     inf = np.zeros(n, dtype=np.uint8)
+    xs_parts = []
+    ys_parts = []
     for i, p in enumerate(points):
         if p.is_identity():
             inf[i] = 1
+            xs_parts.append(_ZERO32)
+            ys_parts.append(_ZERO32)
         else:
-            xs[i] = np.frombuffer(p.x.to_bytes(32, "little"), dtype=np.uint8)
-            ys[i] = np.frombuffer(p.y.to_bytes(32, "little"), dtype=np.uint8)
+            xs_parts.append(p.x.to_bytes(32, "little"))
+            ys_parts.append(p.y.to_bytes(32, "little"))
+    xs = np.frombuffer(b"".join(xs_parts), dtype=np.uint8).reshape(n, 32)
+    ys = np.frombuffer(b"".join(ys_parts), dtype=np.uint8).reshape(n, 32)
     return xs, ys, inf
 
 
@@ -301,3 +306,68 @@ def rng_fill(state: bytes, counter: int, nblocks: int) -> bytes:
     out = np.zeros(32 * nblocks, dtype=np.uint8)
     lib.bp_rng_fill(_buf(st), counter, nblocks, _buf(out))
     return out.tobytes()
+
+
+def rp_phase1(m, n, vs, s_blinds, sL, sR, g_pack, h_pack, ab_pack, bb):
+    """Batched party phase 1 (A_j, S_j) across all parties (C++ threads).
+
+    ``vs``: list of ints; ``s_blinds``/``sL``/``sR``: packed (k, 32) scalar
+    arrays; ``g_pack``/``h_pack``/``ab_pack``: packed point triples;
+    ``bb``: B_blinding. Returns (A_list, S_list).
+    """
+    lib = _lib()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.bp_rp_phase1.argtypes = (
+        [ctypes.c_size_t, ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64)]
+        + [u8p] * 3 + [u8p] * 6 + [u8p] * 3 + [u8p] * 2 + [u8p] * 6
+    )
+    vs_arr = np.asarray(vs, dtype=np.uint64)
+    bx, by, _ = _pack_points([bb])
+    ax = np.zeros((m, 32), np.uint8); ay = np.zeros((m, 32), np.uint8)
+    ai = np.zeros(m, np.uint8)
+    sx = np.zeros((m, 32), np.uint8); sy = np.zeros((m, 32), np.uint8)
+    si = np.zeros(m, np.uint8)
+    lib.bp_rp_phase1(
+        m, n, vs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        _buf(s_blinds), _buf(sL), _buf(sR),
+        _buf(g_pack[0]), _buf(g_pack[1]), _buf(g_pack[2]),
+        _buf(h_pack[0]), _buf(h_pack[1]), _buf(h_pack[2]),
+        _buf(ab_pack[0]), _buf(ab_pack[1]), _buf(ab_pack[2]),
+        _buf(bx), _buf(by),
+        _buf(ax), _buf(ay), _buf(ai), _buf(sx), _buf(sy), _buf(si),
+    )
+    return _unpack_points(ax, ay, ai), _unpack_points(sx, sy, si)
+
+
+def rp_phase2(m, n, vs, y, z, sL, sR):
+    """Batched party phase 2: returns (t012 bytes (m,96), l0, l1, r0, r1)."""
+    lib = _lib()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.bp_rp_phase2.argtypes = (
+        [ctypes.c_size_t, ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64)]
+        + [u8p] * 9
+    )
+    vs_arr = np.asarray(vs, dtype=np.uint64)
+    yb = _pack_scalars([y]); zb = _pack_scalars([z])
+    t012 = np.zeros((m, 96), np.uint8)
+    l0 = np.zeros((m * n, 32), np.uint8); l1 = np.zeros((m * n, 32), np.uint8)
+    r0 = np.zeros((m * n, 32), np.uint8); r1 = np.zeros((m * n, 32), np.uint8)
+    lib.bp_rp_phase2(
+        m, n, vs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        _buf(yb), _buf(zb), _buf(sL), _buf(sR),
+        _buf(t012), _buf(l0), _buf(l1), _buf(r0), _buf(r1),
+    )
+    return t012, l0, l1, r0, r1
+
+
+def rp_phase3(m, n, x, l0, l1, r0, r1):
+    """Batched l(x), r(x) evaluation: returns (l, r) packed arrays."""
+    lib = _lib()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.bp_rp_phase3.argtypes = [ctypes.c_size_t, ctypes.c_size_t] + [u8p] * 7
+    xb = _pack_scalars([x])
+    out_l = np.zeros((m * n, 32), np.uint8)
+    out_r = np.zeros((m * n, 32), np.uint8)
+    lib.bp_rp_phase3(m, n, _buf(xb), _buf(l0), _buf(l1), _buf(r0), _buf(r1),
+                     _buf(out_l), _buf(out_r))
+    return out_l, out_r

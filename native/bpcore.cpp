@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <vector>
 #include <thread>
+#include <atomic>
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -396,6 +397,493 @@ void bp_keccak256(const u8 *data, size_t len, u8 out[32]) {
 
 struct AffinePt { Fp x, y; u8 inf; };
 
+// ---------------------------------------------------------------------------
+// AVX-512 IFMA 8-way bucket engine
+//
+// Field elements in radix-2^52 (5 limbs), Montgomery domain R = 2^260,
+// eight independent elements per __m512i limb-slice.  The Pippenger bucket
+// and reduction phases run 8 windows in lockstep: one broadcast affine
+// point, eight independent bucket chains (vpmadd52 does 8 52x52 mults per
+// instruction, so a field mult costs ~18 instructions for 8 lanes).
+// Rare identity/doubling lanes are fixed up through the scalar path.
+// ---------------------------------------------------------------------------
+#if defined(__AVX512IFMA__) && defined(__AVX512VL__) && defined(__AVX512DQ__)
+#define BP_HAVE_IFMA 1
+#include <immintrin.h>
+
+static const u64 MASK52     = 0xfffffffffffffULL;
+static const u64 P52[5]     = {0x0000000000001ULL, 0, 0,
+                               0x0011000000000ULL, 0x0080000000000ULL};
+static const u64 NINV52     = 0xfffffffffffffULL;   // -P^{-1} mod 2^52
+static const u64 ONE52[5]   = {0xffffffffffe01ULL, 0xfffffffffffffULL,
+                               0xfffffffffffffULL, 0xde10fffffffffULL,
+                               0x007ffffffffffULL}; // 2^260 mod P
+static const u64 R2_52[5]   = {0xd737e00040001ULL, 0x330ffffffffffULL,
+                               0xf800000000001ULL, 0x0010ffffffff6ULL,
+                               0x007d4ab5e0088ULL}; // 2^520 mod P
+// 2P with borrow-proof per-limb padding (each limb >= any canonical limb)
+static const u64 PAD2P[5]   = {0x20000000000002ULL, 0x1ffffffffffffeULL,
+                               0x1ffffffffffffeULL, 0x20021ffffffffeULL,
+                               0x00ffffffffffeULL};
+
+// ---- scalar radix-52 Montgomery (conversions + rare-lane fixups) ----
+
+static void m52_cond_sub(u64 r[5]) {
+    u64 d[5];
+    u64 borrow = 0;
+    for (int i = 0; i < 5; ++i) {
+        u64 t = r[i] + (MASK52 + 1) - P52[i] - borrow;
+        d[i] = t & MASK52;
+        borrow = 1 - (t >> 52);
+    }
+    if (!borrow)
+        for (int i = 0; i < 5; ++i) r[i] = d[i];
+}
+
+static void m52_mul(u64 r[5], const u64 a[5], const u64 b[5]) {
+    u128 t[10] = {0};
+    for (int i = 0; i < 5; ++i)
+        for (int j = 0; j < 5; ++j) t[i + j] += (u128)a[i] * b[j];
+    for (int i = 0; i < 5; ++i) {
+        u64 m = (((u64)t[i] & MASK52) * NINV52) & MASK52;
+        for (int j = 0; j < 5; ++j) t[i + j] += (u128)m * P52[j];
+        t[i + 1] += (u64)(t[i] >> 52);
+    }
+    u128 c = 0;
+    for (int k = 0; k < 5; ++k) {
+        u128 v = t[5 + k] + c;
+        r[k] = (u64)v & MASK52;
+        c = v >> 52;
+    }
+    m52_cond_sub(r);
+}
+
+// canonical 4x64 <-> 5x52 repacking
+static void limbs52_from_words(u64 r[5], const u64 w[4]) {
+    r[0] = w[0] & MASK52;
+    r[1] = ((w[0] >> 52) | (w[1] << 12)) & MASK52;
+    r[2] = ((w[1] >> 40) | (w[2] << 24)) & MASK52;
+    r[3] = ((w[2] >> 28) | (w[3] << 36)) & MASK52;
+    r[4] = (w[3] >> 16) & MASK52;
+}
+
+static void words_from_limbs52(u64 w[4], const u64 r[5]) {
+    w[0] = r[0] | (r[1] << 52);
+    w[1] = (r[1] >> 12) | (r[2] << 40);
+    w[2] = (r[2] >> 24) | (r[3] << 28);
+    w[3] = (r[3] >> 36) | (r[4] << 16);
+}
+
+static void fe52_from_fp(u64 r[5], const Fp &a) {
+    u8 bytes[32];
+    fp_to_bytes(bytes, a);          // leave R64 Montgomery domain
+    u64 w[4];
+    memcpy(w, bytes, 32);
+    limbs52_from_words(r, w);
+    m52_mul(r, r, R2_52);           // enter R52 Montgomery domain
+}
+
+static void fe52_to_fp(Fp &out, const u64 a[5]) {
+    static const u64 one_raw[5] = {1, 0, 0, 0, 0};
+    u64 c[5];
+    m52_mul(c, a, one_raw);         // leave R52 Montgomery domain
+    u64 w[4];
+    words_from_limbs52(w, c);
+    u8 bytes[32];
+    memcpy(bytes, w, 32);
+    fp_from_bytes(out, bytes);      // enter R64 Montgomery domain
+}
+
+// ---- 8-way limb-sliced field arithmetic ----
+
+struct Fe8 { __m512i l[5]; };
+struct Jac8 { Fe8 X, Y, Z; };   // per-lane Jacobian; Z == 0 -> identity
+
+static inline __m512i m52v(void) { return _mm512_set1_epi64((long long)MASK52); }
+
+static inline void fe8_zero(Fe8 &a) {
+    for (int i = 0; i < 5; ++i) a.l[i] = _mm512_setzero_si512();
+}
+
+static inline void fe8_bcast(Fe8 &a, const u64 s[5]) {
+    for (int i = 0; i < 5; ++i) a.l[i] = _mm512_set1_epi64((long long)s[i]);
+}
+
+static inline __mmask8 fe8_is_zero(const Fe8 &a) {
+    __m512i acc = a.l[0];
+    for (int i = 1; i < 5; ++i) acc = _mm512_or_si512(acc, a.l[i]);
+    return _mm512_cmpeq_epu64_mask(acc, _mm512_setzero_si512());
+}
+
+static inline __mmask8 fe8_eq(const Fe8 &a, const Fe8 &b) {
+    __mmask8 k = 0xff;
+    for (int i = 0; i < 5; ++i)
+        k &= _mm512_cmpeq_epu64_mask(a.l[i], b.l[i]);
+    return k;
+}
+
+static inline void fe8_blend(Fe8 &dst, __mmask8 k, const Fe8 &src) {
+    // lanes in k take src
+    for (int i = 0; i < 5; ++i)
+        dst.l[i] = _mm512_mask_blend_epi64(k, dst.l[i], src.l[i]);
+}
+
+static inline void fe8_carry(Fe8 &a) {
+    const __m512i M = m52v();
+    __m512i c = _mm512_setzero_si512();
+    for (int i = 0; i < 5; ++i) {
+        __m512i t = _mm512_add_epi64(a.l[i], c);
+        a.l[i] = _mm512_and_si512(t, M);
+        c = _mm512_srli_epi64(t, 52);
+    }
+}
+
+static inline void fe8_cond_sub(Fe8 &a) {
+    const __m512i M1 = _mm512_set1_epi64((long long)(MASK52 + 1));
+    __m512i d[5];
+    __m512i borrow = _mm512_setzero_si512();
+    for (int i = 0; i < 5; ++i) {
+        __m512i t = _mm512_add_epi64(a.l[i], M1);
+        t = _mm512_sub_epi64(t, _mm512_set1_epi64((long long)P52[i]));
+        t = _mm512_sub_epi64(t, borrow);
+        d[i] = _mm512_and_si512(t, m52v());
+        borrow = _mm512_xor_si512(_mm512_srli_epi64(t, 52),
+                                  _mm512_set1_epi64(1));
+    }
+    __mmask8 geq = _mm512_cmpeq_epu64_mask(borrow, _mm512_setzero_si512());
+    for (int i = 0; i < 5; ++i)
+        a.l[i] = _mm512_mask_blend_epi64(geq, a.l[i], d[i]);
+}
+
+static inline void fe8_add(Fe8 &r, const Fe8 &a, const Fe8 &b) {
+    for (int i = 0; i < 5; ++i) r.l[i] = _mm512_add_epi64(a.l[i], b.l[i]);
+    fe8_carry(r);
+    fe8_cond_sub(r);
+}
+
+static inline void fe8_sub(Fe8 &r, const Fe8 &a, const Fe8 &b) {
+    for (int i = 0; i < 5; ++i) {
+        __m512i t = _mm512_add_epi64(a.l[i], _mm512_set1_epi64((long long)PAD2P[i]));
+        r.l[i] = _mm512_sub_epi64(t, b.l[i]);
+    }
+    fe8_carry(r);
+    fe8_cond_sub(r);
+    fe8_cond_sub(r);
+}
+
+// 8 independent Montgomery multiplications (radix-52 CIOS; P52[1]=P52[2]=0)
+static void fe8_mul(Fe8 &r, const Fe8 &a, const Fe8 &b) {
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i ninv = _mm512_set1_epi64((long long)NINV52);
+    const __m512i p3 = _mm512_set1_epi64((long long)P52[3]);
+    const __m512i p4 = _mm512_set1_epi64((long long)P52[4]);
+    __m512i t0 = zero, t1 = zero, t2 = zero, t3 = zero, t4 = zero;
+    for (int i = 0; i < 5; ++i) {
+        __m512i ai = a.l[i];
+        t0 = _mm512_madd52lo_epu64(t0, ai, b.l[0]);
+        t1 = _mm512_madd52lo_epu64(t1, ai, b.l[1]);
+        t2 = _mm512_madd52lo_epu64(t2, ai, b.l[2]);
+        t3 = _mm512_madd52lo_epu64(t3, ai, b.l[3]);
+        t4 = _mm512_madd52lo_epu64(t4, ai, b.l[4]);
+        __m512i m = _mm512_madd52lo_epu64(zero, t0, ninv);
+        t0 = _mm512_madd52lo_epu64(t0, m, _mm512_set1_epi64(1)); // + m*1
+        t3 = _mm512_madd52lo_epu64(t3, m, p3);
+        t4 = _mm512_madd52lo_epu64(t4, m, p4);
+        __m512i carry = _mm512_srli_epi64(t0, 52);
+        __m512i n0 = _mm512_add_epi64(t1, carry);
+        n0 = _mm512_madd52hi_epu64(n0, ai, b.l[0]);
+        __m512i n1 = _mm512_madd52hi_epu64(t2, ai, b.l[1]);
+        __m512i n2 = _mm512_madd52hi_epu64(t3, ai, b.l[2]);
+        __m512i n3 = _mm512_madd52hi_epu64(t4, ai, b.l[3]);
+        n3 = _mm512_madd52hi_epu64(n3, m, p3);
+        __m512i n4 = _mm512_madd52hi_epu64(zero, ai, b.l[4]);
+        n4 = _mm512_madd52hi_epu64(n4, m, p4);
+        t0 = n0; t1 = n1; t2 = n2; t3 = n3; t4 = n4;
+    }
+    r.l[0] = t0; r.l[1] = t1; r.l[2] = t2; r.l[3] = t3; r.l[4] = t4;
+    fe8_carry(r);
+    fe8_cond_sub(r);
+}
+
+static inline void fe8_sqr(Fe8 &r, const Fe8 &a) { fe8_mul(r, a, a); }
+
+// ---- 8-way Jacobian point ops (a = 1 curve) ----
+
+// Lane transport between AoS bucket slots (16 u64: X[0..4] Y[0..4] Z[0..4] pad)
+// and limb-sliced registers.
+static void jac8_load(Jac8 &io, u64 *const bp[8], __mmask8 active) {
+    alignas(64) u64 buf[15][8];
+    memset(buf, 0, sizeof(buf));
+    for (int k = 0; k < 8; ++k) {
+        if (!((active >> k) & 1)) continue;
+        const u64 *src = bp[k];
+        for (int l = 0; l < 15; ++l) buf[l][k] = src[l];
+    }
+    for (int l = 0; l < 5; ++l) {
+        io.X.l[l] = _mm512_load_si512((const void *)buf[l]);
+        io.Y.l[l] = _mm512_load_si512((const void *)buf[5 + l]);
+        io.Z.l[l] = _mm512_load_si512((const void *)buf[10 + l]);
+    }
+}
+
+static void jac8_store(const Jac8 &io, u64 *const bp[8], __mmask8 storemask) {
+    alignas(64) u64 buf[15][8];
+    for (int l = 0; l < 5; ++l) {
+        _mm512_store_si512((void *)buf[l], io.X.l[l]);
+        _mm512_store_si512((void *)buf[5 + l], io.Y.l[l]);
+        _mm512_store_si512((void *)buf[10 + l], io.Z.l[l]);
+    }
+    for (int k = 0; k < 8; ++k) {
+        if (!((storemask >> k) & 1)) continue;
+        u64 *dst = bp[k];
+        for (int l = 0; l < 15; ++l) dst[l] = buf[l][k];
+    }
+}
+
+// io += (qx, qy) on active lanes (mixed add, madd-2007-bl).  Lanes that hit
+// the doubling case are left untouched and returned for scalar fixup.
+static __mmask8 pt8_add_mixed(Jac8 &io, const Fe8 &qx, const Fe8 &qy,
+                              __mmask8 active) {
+    __mmask8 identp = fe8_is_zero(io.Z) & active;
+    Fe8 Z1Z1, U2, S2, t;
+    fe8_sqr(Z1Z1, io.Z);
+    fe8_mul(U2, qx, Z1Z1);
+    fe8_mul(t, qy, io.Z);
+    fe8_mul(S2, t, Z1Z1);
+    __mmask8 xeq = fe8_eq(io.X, U2) & active & (__mmask8)~identp;
+    __mmask8 yeq = fe8_eq(io.Y, S2);
+    __mmask8 dblm = xeq & yeq;
+    __mmask8 negm = xeq & (__mmask8)~yeq;
+
+    Fe8 H, HH, I, J, rr, V, X3, Y3, Z3, t2;
+    fe8_sub(H, U2, io.X);
+    fe8_sqr(HH, H);
+    fe8_add(I, HH, HH);
+    fe8_add(I, I, I);
+    fe8_mul(J, H, I);
+    fe8_sub(rr, S2, io.Y);
+    fe8_add(rr, rr, rr);
+    fe8_mul(V, io.X, I);
+    fe8_sqr(X3, rr);
+    fe8_sub(X3, X3, J);
+    fe8_sub(X3, X3, V);
+    fe8_sub(X3, X3, V);
+    fe8_sub(Y3, V, X3);
+    fe8_mul(Y3, rr, Y3);
+    fe8_mul(t2, io.Y, J);
+    fe8_add(t2, t2, t2);
+    fe8_sub(Y3, Y3, t2);
+    fe8_add(Z3, io.Z, H);
+    fe8_sqr(Z3, Z3);
+    fe8_sub(Z3, Z3, Z1Z1);
+    fe8_sub(Z3, Z3, HH);
+
+    __mmask8 normal = active & (__mmask8)~(identp | dblm | negm);
+    fe8_blend(io.X, normal, X3);
+    fe8_blend(io.Y, normal, Y3);
+    fe8_blend(io.Z, normal, Z3);
+    // identity += q  ->  (qx, qy, 1)
+    Fe8 one8;
+    fe8_bcast(one8, ONE52);
+    fe8_blend(io.X, identp, qx);
+    fe8_blend(io.Y, identp, qy);
+    fe8_blend(io.Z, identp, one8);
+    // q == -p  ->  identity
+    Fe8 z8;
+    fe8_zero(z8);
+    fe8_blend(io.X, negm, z8);
+    fe8_blend(io.Y, negm, z8);
+    fe8_blend(io.Z, negm, z8);
+    return dblm;
+}
+
+// io += q (full Jacobian add, add-2007-bl).  Doubling lanes returned for
+// scalar fixup.
+static __mmask8 pt8_add(Jac8 &io, const Jac8 &q, __mmask8 active) {
+    __mmask8 identp = fe8_is_zero(io.Z) & active;
+    __mmask8 identq = fe8_is_zero(q.Z) & active;
+    Fe8 Z1Z1, Z2Z2, U1, U2, S1, S2, t;
+    fe8_sqr(Z1Z1, io.Z);
+    fe8_sqr(Z2Z2, q.Z);
+    fe8_mul(U1, io.X, Z2Z2);
+    fe8_mul(U2, q.X, Z1Z1);
+    fe8_mul(t, io.Y, q.Z);
+    fe8_mul(S1, t, Z2Z2);
+    fe8_mul(t, q.Y, io.Z);
+    fe8_mul(S2, t, Z1Z1);
+    __mmask8 live = active & (__mmask8)~(identp | identq);
+    __mmask8 xeq = fe8_eq(U1, U2) & live;
+    __mmask8 yeq = fe8_eq(S1, S2);
+    __mmask8 dblm = xeq & yeq;
+    __mmask8 negm = xeq & (__mmask8)~yeq;
+
+    Fe8 H, I, J, rr, V, X3, Y3, Z3, t2;
+    fe8_sub(H, U2, U1);
+    fe8_add(I, H, H);
+    fe8_sqr(I, I);
+    fe8_mul(J, H, I);
+    fe8_sub(rr, S2, S1);
+    fe8_add(rr, rr, rr);
+    fe8_mul(V, U1, I);
+    fe8_sqr(X3, rr);
+    fe8_sub(X3, X3, J);
+    fe8_sub(X3, X3, V);
+    fe8_sub(X3, X3, V);
+    fe8_sub(Y3, V, X3);
+    fe8_mul(Y3, rr, Y3);
+    fe8_mul(t2, S1, J);
+    fe8_add(t2, t2, t2);
+    fe8_sub(Y3, Y3, t2);
+    fe8_add(Z3, io.Z, q.Z);
+    fe8_sqr(Z3, Z3);
+    fe8_sub(Z3, Z3, Z1Z1);
+    fe8_sub(Z3, Z3, Z2Z2);
+    fe8_mul(Z3, Z3, H);
+
+    __mmask8 normal = live & (__mmask8)~(dblm | negm);
+    fe8_blend(io.X, normal, X3);
+    fe8_blend(io.Y, normal, Y3);
+    fe8_blend(io.Z, normal, Z3);
+    fe8_blend(io.X, identp, q.X);   // identity += q -> q (incl. both-ident)
+    fe8_blend(io.Y, identp, q.Y);
+    fe8_blend(io.Z, identp, q.Z);
+    Fe8 z8;
+    fe8_zero(z8);
+    __mmask8 negonly = negm & (__mmask8)~identp;
+    fe8_blend(io.X, negonly, z8);
+    fe8_blend(io.Y, negonly, z8);
+    fe8_blend(io.Z, negonly, z8);
+    return dblm & (__mmask8)~identp;
+}
+
+// bucket slot (fe52 mont Jacobian) <-> scalar Pt for rare-lane fixups
+static void slot_to_pt(Pt &out, const u64 *slot) {
+    if (!(slot[10] | slot[11] | slot[12] | slot[13] | slot[14])) {
+        out = PT_IDENT;
+        return;
+    }
+    fe52_to_fp(out.X, slot);
+    fe52_to_fp(out.Y, slot + 5);
+    fe52_to_fp(out.Z, slot + 10);
+}
+
+static void slot_from_pt(u64 *slot, const Pt &p) {
+    if (pt_is_ident(p)) {
+        memset(slot, 0, 15 * sizeof(u64));
+        return;
+    }
+    fe52_from_fp(slot, p.X);
+    fe52_from_fp(slot + 5, p.Y);
+    fe52_from_fp(slot + 10, p.Z);
+}
+
+// Process windows [w0, w0+nl) of one MSM with 8-way bucket + reduction
+// phases (nl <= 8 lanes; lane L = window w0+L).
+static void msm_window_group_ifma(const u8 *scalars, const u32 *indices,
+                                  const std::vector<AffinePt> &pts,
+                                  const u64 *fe52pts, size_t k, int c,
+                                  int w0, int nl, Pt *window_out) {
+    const size_t nbuckets = ((size_t)1 << c) - 1;
+    const size_t stride = 16;
+    std::vector<u64> buckets((size_t)nl * nbuckets * stride, 0);
+    u64 *bp[8] = {nullptr};
+    alignas(64) u64 dummy[16] = {0};
+
+    for (size_t i = 0; i < k; ++i) {
+        const size_t pi = indices ? indices[i] : i;
+        const AffinePt &ap = pts[pi];
+        __mmask8 active = 0;
+        u64 digits[8];
+        for (int L = 0; L < nl; ++L) {
+            digits[L] = scalar_window(scalars + 32 * i, (w0 + L) * c, c);
+            if (digits[L] && !ap.inf) {
+                active |= (__mmask8)(1u << L);
+                bp[L] = buckets.data() +
+                        ((size_t)L * nbuckets + (digits[L] - 1)) * stride;
+            } else {
+                bp[L] = dummy;
+            }
+        }
+        if (!active) continue;
+        Jac8 acc;
+        jac8_load(acc, bp, active);
+        Fe8 qx, qy;
+        fe8_bcast(qx, fe52pts + 10 * pi);
+        fe8_bcast(qy, fe52pts + 10 * pi + 5);
+        __mmask8 dblm = pt8_add_mixed(acc, qx, qy, active);
+        jac8_store(acc, bp, active & (__mmask8)~dblm);
+        while (dblm) {
+            int L = __builtin_ctz(dblm);
+            dblm = (__mmask8)(dblm & (dblm - 1));
+            Pt p, r;
+            slot_to_pt(p, bp[L]);
+            pt_add_mixed(r, p, ap.x, ap.y);
+            slot_from_pt(bp[L], r);
+        }
+    }
+
+    // reduction: running suffix sums, 8 windows in lockstep
+    std::vector<u64> run((size_t)nl * stride, 0), tot((size_t)nl * stride, 0);
+    u64 *rp[8], *tp[8];
+    for (int L = 0; L < 8; ++L) {
+        rp[L] = (L < nl) ? run.data() + (size_t)L * stride : dummy;
+        tp[L] = (L < nl) ? tot.data() + (size_t)L * stride : dummy;
+    }
+    __mmask8 lanes = (__mmask8)((1u << nl) - 1);
+    for (size_t b = nbuckets; b-- > 0;) {
+        for (int L = 0; L < nl; ++L)
+            bp[L] = buckets.data() + ((size_t)L * nbuckets + b) * stride;
+        for (int L = nl; L < 8; ++L) bp[L] = dummy;
+        Jac8 running, bucket8;
+        jac8_load(running, rp, lanes);
+        jac8_load(bucket8, bp, lanes);
+        __mmask8 dblm = pt8_add(running, bucket8, lanes);
+        jac8_store(running, rp, lanes & (__mmask8)~dblm);
+        while (dblm) {
+            int L = __builtin_ctz(dblm);
+            dblm = (__mmask8)(dblm & (dblm - 1));
+            Pt p, q, r;
+            slot_to_pt(p, rp[L]);
+            slot_to_pt(q, bp[L]);
+            pt_add(r, p, q);
+            slot_from_pt(rp[L], r);
+        }
+        Jac8 total;
+        jac8_load(total, tp, lanes);
+        jac8_load(running, rp, lanes);
+        dblm = pt8_add(total, running, lanes);
+        jac8_store(total, tp, lanes & (__mmask8)~dblm);
+        while (dblm) {
+            int L = __builtin_ctz(dblm);
+            dblm = (__mmask8)(dblm & (dblm - 1));
+            Pt p, q, r;
+            slot_to_pt(p, tp[L]);
+            slot_to_pt(q, rp[L]);
+            pt_add(r, p, q);
+            slot_from_pt(tp[L], r);
+        }
+    }
+    for (int L = 0; L < nl; ++L) slot_to_pt(window_out[w0 + L], tp[L]);
+}
+
+// Window count per thread-span cost model: span = ceil(groups/threads)
+// serial 8-way iterations of (k bucket adds + 2*2^c reduction adds).
+static int msm_pick_c_ifma(size_t k, int nthreads) {
+    int best_c = 8;
+    double best = 1e300;
+    for (int cc = 2; cc <= 18; ++cc) {
+        int windows = (252 + cc - 1) / cc;
+        int groups = (windows + 7) / 8;
+        int span_groups = (groups + nthreads - 1) / nthreads;
+        double cost = (double)span_groups *
+                      ((double)k + 2.0 * (double)((u64)1 << cc));
+        if (cost < best) { best = cost; best_c = cc; }
+    }
+    return best_c;
+}
+#endif  // BP_HAVE_IFMA
+
+
 static int msm_pick_c(size_t n) {
     int c = 4;
     double best = 1e300;
@@ -433,16 +921,74 @@ static void msm_window_range(const u8 *scalars, const u32 *indices,
     }
 }
 
+static void msm_combine(const Pt *window_sums, int windows, int c,
+                        u8 *out_x, u8 *out_y, u8 *out_inf) {
+    Pt result = PT_IDENT;
+    for (int w = windows - 1; w >= 0; --w) {
+        for (int i = 0; i < c; ++i) { Pt t; pt_dbl(t, result); result = t; }
+        Pt t; pt_add(t, result, window_sums[w]); result = t;
+    }
+    pt_to_affine(out_x, out_y, out_inf, result);
+}
+
+#ifdef BP_HAVE_IFMA
+// fe52 affine table (10 u64 per slot, aligned with an AffinePt table)
+static std::vector<u64> fe52_table(const std::vector<AffinePt> &pts) {
+    std::vector<u64> fe((size_t)10 * pts.size(), 0);
+    for (size_t i = 0; i < pts.size(); ++i) {
+        if (pts[i].inf) continue;
+        fe52_from_fp(&fe[10 * i], pts[i].x);
+        fe52_from_fp(&fe[10 * i + 5], pts[i].y);
+    }
+    return fe;
+}
+#endif
+
 static void msm_run(const u8 *scalars, const u32 *indices,
                     const std::vector<AffinePt> &pts, size_t k,
-                    u8 *out_x, u8 *out_y, u8 *out_inf) {
+                    u8 *out_x, u8 *out_y, u8 *out_inf,
+                    const u64 *fe52_cache = nullptr, int nthreads_cap = 0) {
     if (k == 0) { memset(out_x, 0, 32); memset(out_y, 0, 32); *out_inf = 1; return; }
+    unsigned hw = std::thread::hardware_concurrency();
+    int nthreads = (int)(hw ? hw : 1);
+    if (nthreads_cap > 0 && nthreads > nthreads_cap) nthreads = nthreads_cap;
+
+#ifdef BP_HAVE_IFMA
+    if (k >= 16) {
+        std::vector<u64> fe_local;
+        if (!fe52_cache) {
+            fe_local = fe52_table(pts);
+            fe52_cache = fe_local.data();
+        }
+        int c = msm_pick_c_ifma(k, nthreads);
+        int windows = (252 + c - 1) / c;
+        std::vector<Pt> window_sums(windows);
+        int ngroups = (windows + 7) / 8;
+        int nt = nthreads < ngroups ? nthreads : ngroups;
+        if (k < 64) nt = 1;
+        auto worker = [&](int t) {
+            for (int g = t; g < ngroups; g += nt) {
+                int w0 = g * 8;
+                int nl = windows - w0 < 8 ? windows - w0 : 8;
+                msm_window_group_ifma(scalars, indices, pts, fe52_cache, k, c,
+                                      w0, nl, window_sums.data());
+            }
+        };
+        if (nt <= 1) {
+            worker(0);
+        } else {
+            std::vector<std::thread> threads;
+            for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+            for (auto &th : threads) th.join();
+        }
+        msm_combine(window_sums.data(), windows, c, out_x, out_y, out_inf);
+        return;
+    }
+#endif
+
     int c = msm_pick_c(k);
     int windows = (252 + c - 1) / c;
     std::vector<Pt> window_sums(windows);
-
-    unsigned hw = std::thread::hardware_concurrency();
-    int nthreads = (int)(hw ? hw : 1);
     if (nthreads > windows) nthreads = windows;
     if (k < 64) nthreads = 1;
     if (nthreads <= 1) {
@@ -459,13 +1005,7 @@ static void msm_run(const u8 *scalars, const u32 *indices,
         }
         for (auto &th : threads) th.join();
     }
-
-    Pt result = PT_IDENT;
-    for (int w = windows - 1; w >= 0; --w) {
-        for (int i = 0; i < c; ++i) { Pt t; pt_dbl(t, result); result = t; }
-        Pt t; pt_add(t, result, window_sums[w]); result = t;
-    }
-    pt_to_affine(out_x, out_y, out_inf, result);
+    msm_combine(window_sums.data(), windows, c, out_x, out_y, out_inf);
 }
 
 static std::vector<AffinePt> load_affine(const u8 *xs, const u8 *ys,
@@ -488,11 +1028,19 @@ void bp_msm(const u8 *scalars, const u8 *xs, const u8 *ys, const u8 *inf,
 }
 
 // Indexed MSM over a pre-registered point table (see bp_points_new).
-struct PointTable { std::vector<AffinePt> pts; };
+struct PointTable {
+    std::vector<AffinePt> pts;
+#ifdef BP_HAVE_IFMA
+    std::vector<u64> fe52;
+#endif
+};
 
 void *bp_points_new(const u8 *xs, const u8 *ys, const u8 *inf, size_t n) {
     PointTable *t = new PointTable();
     t->pts = load_affine(xs, ys, inf, n);
+#ifdef BP_HAVE_IFMA
+    t->fe52 = fe52_table(t->pts);
+#endif
     return t;
 }
 
@@ -501,7 +1049,11 @@ void bp_points_free(void *table) { delete (PointTable *)table; }
 void bp_msm_indexed(void *table, const u8 *scalars, const u32 *indices, size_t k,
                     u8 *out_x, u8 *out_y, u8 *out_inf) {
     PointTable *t = (PointTable *)table;
+#ifdef BP_HAVE_IFMA
+    msm_run(scalars, indices, t->pts, k, out_x, out_y, out_inf, t->fe52.data());
+#else
     msm_run(scalars, indices, t->pts, k, out_x, out_y, out_inf);
+#endif
 }
 
 // ---- per-element double-scalar fold: out_i = ul_i * L_i + ur_i * R_i ----
@@ -776,6 +1328,12 @@ extern "C" void bp_ipp_create(
     std::vector<u8> s_bytes(32 * (n + 1));
     std::vector<u32> idx(n + 1);
     size_t round = 0;
+#ifdef BP_HAVE_IFMA
+    std::vector<u64> fe52 = fe52_table(pts);
+    const u64 *fe52p = fe52.data();
+#else
+    const u64 *fe52p = nullptr;
+#endif
 
     size_t cur = n;
     while (cur > 1) {
@@ -798,7 +1356,7 @@ extern "C" void bp_ipp_create(
         }
         fr_to_bytes(s_bytes.data() + 32 * n, c_L);
         idx[n] = (u32)(2 * n);
-        msm_run(s_bytes.data(), idx.data(), pts, n + 1, Lx, Ly, &Li);
+        msm_run(s_bytes.data(), idx.data(), pts, n + 1, Lx, Ly, &Li, fe52p);
         // R MSM
         for (size_t i = 0; i < n; ++i) {
             size_t r = i % cur;
@@ -809,7 +1367,7 @@ extern "C" void bp_ipp_create(
         }
         fr_to_bytes(s_bytes.data() + 32 * n, c_R);
         idx[n] = (u32)(2 * n);
-        msm_run(s_bytes.data(), idx.data(), pts, n + 1, Rx, Ry, &Ri);
+        msm_run(s_bytes.data(), idx.data(), pts, n + 1, Rx, Ry, &Ri, fe52p);
 
         memcpy(out_lr_x + 64 * round, Lx, 32); memcpy(out_lr_x + 64 * round + 32, Rx, 32);
         memcpy(out_lr_y + 64 * round, Ly, 32); memcpy(out_lr_y + 64 * round + 32, Ry, 32);
@@ -857,6 +1415,218 @@ extern "C" void bp_sum_selected(const u8 *bits, const u8 *xs, const u8 *ys,
         acc = t;
     }
     pt_to_affine(out_x, out_y, out_inf, acc);
+}
+
+
+// ---- aggregated range-proof party phases, batched across parties ----
+// (state machine stays in Python — these are the compute kernels;
+//  reference: docs/range-proof-protocol.md "Party's algorithm")
+
+static inline void fr_sub(Fr &out, const Fr &a, const Fr &b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a.v[i] - b.v[i] - borrow;
+        out.v[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; ++i) {
+            u128 s = (u128)out.v[i] + R_MOD.v[i] + carry;
+            out.v[i] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+}
+
+// Phase 1: A_j (bit commitment, no scalar muls) and S_j (2n+1-term MSM)
+// for every party, threaded across parties.
+extern "C" void bp_rp_phase1(
+    size_t m, size_t n, const u64 *vs,
+    const u8 *s_blinds,                                  // 32*m
+    const u8 *sL, const u8 *sR,                          // 32*m*n each
+    const u8 *gxs, const u8 *gys, const u8 *ginf,        // m*n points
+    const u8 *hxs, const u8 *hys, const u8 *hinf,
+    const u8 *abx, const u8 *aby, const u8 *abinf,       // m pts: a_blind*B~
+    const u8 *bbx, const u8 *bby,                        // B_blinding
+    u8 *out_ax, u8 *out_ay, u8 *out_ainf,
+    u8 *out_sx, u8 *out_sy, u8 *out_sinf)
+{
+    std::vector<Pt> As(m), Ss(m);
+    auto party = [&](size_t j) {
+        const u8 *gx = gxs + 32 * n * j, *gy = gys + 32 * n * j, *gi = ginf + n * j;
+        const u8 *hx = hxs + 32 * n * j, *hy = hys + 32 * n * j, *hi = hinf + n * j;
+        // A_j = a_blind*B~ + sum_{bit=1} G_i + sum_{bit=0} -H_i
+        Pt acc;
+        pt_from_affine(acc, abx + 32 * j, aby + 32 * j, abinf[j]);
+        for (size_t i = 0; i < n; ++i) {
+            int bit = (int)((vs[j] >> i) & 1);
+            Pt t;
+            if (bit) {
+                if (gi[i]) continue;
+                Fp px, py;
+                fp_from_bytes(px, gx + 32 * i);
+                fp_from_bytes(py, gy + 32 * i);
+                pt_add_mixed(t, acc, px, py);
+            } else {
+                if (hi[i]) continue;
+                Fp px, py;
+                fp_from_bytes(px, hx + 32 * i);
+                fp_from_bytes(py, hy + 32 * i);
+                fp_sub(py, FP_ZERO, py);   // -H_i
+                pt_add_mixed(t, acc, px, py);
+            }
+            acc = t;
+        }
+        As[j] = acc;
+        // S_j = s_blind*B~ + <sL, G_j> + <sR, H_j>
+        std::vector<AffinePt> pts(2 * n + 1);
+        for (size_t i = 0; i < n; ++i) {
+            pts[i].inf = gi[i];
+            if (!gi[i]) { fp_from_bytes(pts[i].x, gx + 32 * i); fp_from_bytes(pts[i].y, gy + 32 * i); }
+            pts[n + i].inf = hi[i];
+            if (!hi[i]) { fp_from_bytes(pts[n + i].x, hx + 32 * i); fp_from_bytes(pts[n + i].y, hy + 32 * i); }
+        }
+        pts[2 * n].inf = 0;
+        fp_from_bytes(pts[2 * n].x, bbx);
+        fp_from_bytes(pts[2 * n].y, bby);
+        std::vector<u8> sbytes(32 * (2 * n + 1));
+        memcpy(sbytes.data(), sL + 32 * n * j, 32 * n);
+        memcpy(sbytes.data() + 32 * n, sR + 32 * n * j, 32 * n);
+        memcpy(sbytes.data() + 64 * n, s_blinds + 32 * j, 32);
+        u8 sx[32], sy[32], si;
+        msm_run(sbytes.data(), nullptr, pts, 2 * n + 1, sx, sy, &si, nullptr, 1);
+        pt_from_affine(Ss[j], sx, sy, si);
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t nt = hw ? hw : 1;
+    if (nt > m) nt = m;
+    if (nt <= 1) {
+        for (size_t j = 0; j < m; ++j) party(j);
+    } else {
+        std::vector<std::thread> th;
+        std::atomic<size_t> next(0);
+        for (size_t t = 0; t < nt; ++t)
+            th.emplace_back([&]() {
+                for (size_t j = next.fetch_add(1); j < m; j = next.fetch_add(1)) party(j);
+            });
+        for (auto &x : th) x.join();
+    }
+    pt_to_affine_batch(out_ax, out_ay, out_ainf, As.data(), m);
+    pt_to_affine_batch(out_sx, out_sy, out_sinf, Ss.data(), m);
+}
+
+// Phase 2: l/r polynomial coefficient vectors and t-poly coefficients per
+// party given the bit challenge (y, z).
+extern "C" void bp_rp_phase2(
+    size_t m, size_t n, const u64 *vs,
+    const u8 *y32, const u8 *z32,
+    const u8 *sL, const u8 *sR,               // 32*m*n
+    u8 *out_t012,                             // 32*3*m
+    u8 *out_l0, u8 *out_l1, u8 *out_r0, u8 *out_r1)  // 32*m*n
+{
+    Fr y, z, zz, two;
+    fr_from_bytes(y, y32);
+    fr_from_bytes(z, z32);
+    fr_mul(zz, z, z);
+    u8 twob[32] = {2};
+    fr_from_bytes(two, twob);
+    // y^n for the per-party offset step
+    Fr y_n = FR_ONE;
+    for (size_t i = 0; i < n; ++i) { Fr t; fr_mul(t, y_n, y); y_n = t; }
+
+    auto party = [&](size_t j, const Fr &oy0, const Fr &oz) {
+        Fr ozz;
+        fr_mul(ozz, zz, oz);
+        Fr ey = oy0, e2 = FR_ONE;
+        Fr t0 = {{0,0,0,0}}, t2 = {{0,0,0,0}}, tm = {{0,0,0,0}};
+        const u8 *sLj = sL + 32 * n * j, *sRj = sR + 32 * n * j;
+        u8 *l0 = out_l0 + 32 * n * j, *l1 = out_l1 + 32 * n * j;
+        u8 *r0 = out_r0 + 32 * n * j, *r1 = out_r1 + 32 * n * j;
+        for (size_t i = 0; i < n; ++i) {
+            int bit = (int)((vs[j] >> i) & 1);
+            Fr aL = bit ? FR_ONE : Fr{{0,0,0,0}};
+            Fr aR;  // aL - 1
+            if (bit) aR = Fr{{0,0,0,0}};
+            else fr_sub(aR, Fr{{0,0,0,0}}, FR_ONE);
+            Fr l0i, l1i, r0i, r1i, t, u;
+            fr_sub(l0i, aL, z);
+            fr_from_bytes(l1i, sLj + 32 * i);
+            fr_add(t, aR, z);
+            fr_mul(t, ey, t);
+            fr_mul(u, ozz, e2);
+            fr_add(r0i, t, u);
+            fr_from_bytes(r1i, sRj + 32 * i);
+            fr_mul(r1i, ey, r1i);
+            fr_to_bytes(l0 + 32 * i, l0i);
+            fr_to_bytes(l1 + 32 * i, l1i);
+            fr_to_bytes(r0 + 32 * i, r0i);
+            fr_to_bytes(r1 + 32 * i, r1i);
+            // t-poly accumulation: t0 += l0*r0, t2 += l1*r1, tm += (l0+l1)(r0+r1)
+            fr_mul(t, l0i, r0i); fr_add(t0, t0, t);
+            fr_mul(t, l1i, r1i); fr_add(t2, t2, t);
+            Fr ls, rs;
+            fr_add(ls, l0i, l1i);
+            fr_add(rs, r0i, r1i);
+            fr_mul(t, ls, rs); fr_add(tm, tm, t);
+            fr_mul(t, ey, y); ey = t;
+            fr_mul(t, e2, two); e2 = t;
+        }
+        Fr t1;
+        fr_sub(t1, tm, t0);
+        fr_sub(t1, t1, t2);
+        fr_to_bytes(out_t012 + 96 * j, t0);
+        fr_to_bytes(out_t012 + 96 * j + 32, t1);
+        fr_to_bytes(out_t012 + 96 * j + 64, t2);
+    };
+    // per-party offsets are sequential: oy_{j+1} = oy_j * y^n, oz_{j+1} = oz_j * z
+    Fr oy = FR_ONE, oz = FR_ONE;
+    std::vector<Fr> oys(m), ozs(m);
+    for (size_t j = 0; j < m; ++j) {
+        oys[j] = oy; ozs[j] = oz;
+        Fr t;
+        fr_mul(t, oy, y_n); oy = t;
+        fr_mul(t, oz, z); oz = t;
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t nt = hw ? hw : 1;
+    if (nt > m) nt = m;
+    if (nt <= 1 || m < 2) {
+        for (size_t j = 0; j < m; ++j) party(j, oys[j], ozs[j]);
+    } else {
+        std::vector<std::thread> th;
+        std::atomic<size_t> next(0);
+        for (size_t t = 0; t < nt; ++t)
+            th.emplace_back([&]() {
+                for (size_t j = next.fetch_add(1); j < m; j = next.fetch_add(1))
+                    party(j, oys[j], ozs[j]);
+            });
+        for (auto &x : th) x.join();
+    }
+}
+
+// Phase 3: evaluate l(x), r(x) per party.
+extern "C" void bp_rp_phase3(
+    size_t m, size_t n, const u8 *x32,
+    const u8 *l0, const u8 *l1, const u8 *r0, const u8 *r1,
+    u8 *out_l, u8 *out_r)
+{
+    Fr x;
+    fr_from_bytes(x, x32);
+    size_t total = m * n;
+    for (size_t i = 0; i < total; ++i) {
+        Fr a, b, t;
+        fr_from_bytes(a, l0 + 32 * i);
+        fr_from_bytes(b, l1 + 32 * i);
+        fr_mul(t, b, x);
+        fr_add(a, a, t);
+        fr_to_bytes(out_l + 32 * i, a);
+        fr_from_bytes(a, r0 + 32 * i);
+        fr_from_bytes(b, r1 + 32 * i);
+        fr_mul(t, b, x);
+        fr_add(a, a, t);
+        fr_to_bytes(out_r + 32 * i, a);
+    }
 }
 
 // ---- counter-mode keccak RNG fill: out[i] = keccak(state || LE64(ctr+i)) ----
