@@ -697,6 +697,61 @@ static __mmask8 pt8_add_mixed(Jac8 &io, const Fe8 &qx, const Fe8 &qy,
     return dblm;
 }
 
+
+// Two independent mixed adds in lockstep: the interleaved primitive pairs
+// dual-issue on the IFMA port (~1.5x the throughput of serial calls).
+static void pt8_add_mixed2(Jac8 io[2], const Fe8 qx[2], const Fe8 qy[2],
+                           const __mmask8 active[2], __mmask8 dbl_out[2]) {
+    __mmask8 identp[2], xeq[2], yeq[2], dblm[2], negm[2];
+    Fe8 Z1Z1[2], U2[2], S2[2], t[2];
+    for (int u = 0; u < 2; ++u) identp[u] = fe8_is_zero(io[u].Z) & active[u];
+    for (int u = 0; u < 2; ++u) fe8_sqr(Z1Z1[u], io[u].Z);
+    for (int u = 0; u < 2; ++u) fe8_mul(U2[u], qx[u], Z1Z1[u]);
+    for (int u = 0; u < 2; ++u) fe8_mul(t[u], qy[u], io[u].Z);
+    for (int u = 0; u < 2; ++u) fe8_mul(S2[u], t[u], Z1Z1[u]);
+    for (int u = 0; u < 2; ++u) {
+        xeq[u] = fe8_eq(io[u].X, U2[u]) & active[u] & (__mmask8)~identp[u];
+        yeq[u] = fe8_eq(io[u].Y, S2[u]);
+        dblm[u] = xeq[u] & yeq[u];
+        negm[u] = xeq[u] & (__mmask8)~yeq[u];
+    }
+    Fe8 H[2], HH[2], I[2], J[2], rr[2], V[2], X3[2], Y3[2], Z3[2], t2[2];
+    for (int u = 0; u < 2; ++u) fe8_sub(H[u], U2[u], io[u].X);
+    for (int u = 0; u < 2; ++u) fe8_mul(HH[u], H[u], H[u]);
+    for (int u = 0; u < 2; ++u) { fe8_add(I[u], HH[u], HH[u]); }
+    for (int u = 0; u < 2; ++u) { fe8_add(I[u], I[u], I[u]); }
+    for (int u = 0; u < 2; ++u) fe8_mul(J[u], H[u], I[u]);
+    for (int u = 0; u < 2; ++u) { fe8_sub(rr[u], S2[u], io[u].Y); }
+    for (int u = 0; u < 2; ++u) { fe8_add(rr[u], rr[u], rr[u]); }
+    for (int u = 0; u < 2; ++u) fe8_mul(V[u], io[u].X, I[u]);
+    for (int u = 0; u < 2; ++u) fe8_mul(X3[u], rr[u], rr[u]);
+    for (int u = 0; u < 2; ++u) { fe8_sub(X3[u], X3[u], J[u]); }
+    for (int u = 0; u < 2; ++u) { fe8_sub(X3[u], X3[u], V[u]); fe8_sub(X3[u], X3[u], V[u]); }
+    for (int u = 0; u < 2; ++u) fe8_sub(Y3[u], V[u], X3[u]);
+    for (int u = 0; u < 2; ++u) fe8_mul(Y3[u], rr[u], Y3[u]);
+    for (int u = 0; u < 2; ++u) fe8_mul(t2[u], io[u].Y, J[u]);
+    for (int u = 0; u < 2; ++u) { fe8_add(t2[u], t2[u], t2[u]); fe8_sub(Y3[u], Y3[u], t2[u]); }
+    for (int u = 0; u < 2; ++u) fe8_add(Z3[u], io[u].Z, H[u]);
+    for (int u = 0; u < 2; ++u) fe8_mul(Z3[u], Z3[u], Z3[u]);
+    for (int u = 0; u < 2; ++u) { fe8_sub(Z3[u], Z3[u], Z1Z1[u]); fe8_sub(Z3[u], Z3[u], HH[u]); }
+    Fe8 one8, z8;
+    fe8_bcast(one8, ONE52);
+    fe8_zero(z8);
+    for (int u = 0; u < 2; ++u) {
+        __mmask8 normal = active[u] & (__mmask8)~(identp[u] | dblm[u] | negm[u]);
+        fe8_blend(io[u].X, normal, X3[u]);
+        fe8_blend(io[u].Y, normal, Y3[u]);
+        fe8_blend(io[u].Z, normal, Z3[u]);
+        fe8_blend(io[u].X, identp[u], qx[u]);
+        fe8_blend(io[u].Y, identp[u], qy[u]);
+        fe8_blend(io[u].Z, identp[u], one8);
+        fe8_blend(io[u].X, negm[u], z8);
+        fe8_blend(io[u].Y, negm[u], z8);
+        fe8_blend(io[u].Z, negm[u], z8);
+        dbl_out[u] = dblm[u];
+    }
+}
+
 // io += q (full Jacobian add, add-2007-bl).  Doubling lanes returned for
 // scalar fixup.
 static __mmask8 pt8_add(Jac8 &io, const Jac8 &q, __mmask8 active) {
@@ -789,20 +844,78 @@ static void msm_window_group_ifma(const u8 *scalars, const u32 *indices,
     u64 *bp[8] = {nullptr};
     alignas(64) u64 dummy[16] = {0};
 
-    for (size_t i = 0; i < k; ++i) {
+    // bucket phase: two points in flight (independent adds dual-issue);
+    // lanes where both points hit the same bucket defer the second add to
+    // the scalar path.
+    u64 *bp2[2][8];
+    auto scalar_bucket_add = [&](u64 *slot, const AffinePt &ap) {
+        Pt p, r;
+        slot_to_pt(p, slot);
+        pt_add_mixed(r, p, ap.x, ap.y);
+        slot_from_pt(slot, r);
+    };
+    size_t i = 0;
+    for (; i + 1 < k; i += 2) {
+        const size_t pi0 = indices ? indices[i] : i;
+        const size_t pi1 = indices ? indices[i + 1] : i + 1;
+        const AffinePt &ap0 = pts[pi0];
+        const AffinePt &ap1 = pts[pi1];
+        __mmask8 act[2] = {0, 0};
+        for (int L = 0; L < nl; ++L) {
+            u64 d0 = scalar_window(scalars + 32 * i, (w0 + L) * c, c);
+            u64 d1 = scalar_window(scalars + 32 * (i + 1), (w0 + L) * c, c);
+            if (d0 && !ap0.inf) {
+                act[0] |= (__mmask8)(1u << L);
+                bp2[0][L] = buckets.data() +
+                            ((size_t)L * nbuckets + (d0 - 1)) * stride;
+            } else bp2[0][L] = dummy;
+            if (d1 && !ap1.inf) {
+                act[1] |= (__mmask8)(1u << L);
+                bp2[1][L] = buckets.data() +
+                            ((size_t)L * nbuckets + (d1 - 1)) * stride;
+            } else bp2[1][L] = dummy;
+        }
+        // same-bucket conflicts: second add handled scalar after the store
+        __mmask8 conflict = 0;
+        for (int L = 0; L < nl; ++L)
+            if (((act[0] >> L) & 1) && ((act[1] >> L) & 1) &&
+                bp2[0][L] == bp2[1][L])
+                conflict |= (__mmask8)(1u << L);
+        act[1] &= (__mmask8)~conflict;
+        if (!(act[0] | act[1] | conflict)) continue;
+        Jac8 acc[2];
+        jac8_load(acc[0], bp2[0], act[0]);
+        jac8_load(acc[1], bp2[1], act[1]);
+        Fe8 qx[2], qy[2];
+        fe8_bcast(qx[0], fe52pts + 10 * pi0);
+        fe8_bcast(qy[0], fe52pts + 10 * pi0 + 5);
+        fe8_bcast(qx[1], fe52pts + 10 * pi1);
+        fe8_bcast(qy[1], fe52pts + 10 * pi1 + 5);
+        __mmask8 dblm[2];
+        pt8_add_mixed2(acc, qx, qy, act, dblm);
+        jac8_store(acc[0], bp2[0], act[0] & (__mmask8)~dblm[0]);
+        jac8_store(acc[1], bp2[1], act[1] & (__mmask8)~dblm[1]);
+        __mmask8 m0 = dblm[0];
+        while (m0) {
+            int L = __builtin_ctz(m0); m0 = (__mmask8)(m0 & (m0 - 1));
+            scalar_bucket_add(bp2[0][L], ap0);
+        }
+        __mmask8 m1 = (__mmask8)(dblm[1] | conflict);
+        while (m1) {
+            int L = __builtin_ctz(m1); m1 = (__mmask8)(m1 & (m1 - 1));
+            scalar_bucket_add(bp2[1][L], ap1);
+        }
+    }
+    for (; i < k; ++i) {
         const size_t pi = indices ? indices[i] : i;
         const AffinePt &ap = pts[pi];
         __mmask8 active = 0;
-        u64 digits[8];
         for (int L = 0; L < nl; ++L) {
-            digits[L] = scalar_window(scalars + 32 * i, (w0 + L) * c, c);
-            if (digits[L] && !ap.inf) {
+            u64 d = scalar_window(scalars + 32 * i, (w0 + L) * c, c);
+            if (d && !ap.inf) {
                 active |= (__mmask8)(1u << L);
-                bp[L] = buckets.data() +
-                        ((size_t)L * nbuckets + (digits[L] - 1)) * stride;
-            } else {
-                bp[L] = dummy;
-            }
+                bp[L] = buckets.data() + ((size_t)L * nbuckets + (d - 1)) * stride;
+            } else bp[L] = dummy;
         }
         if (!active) continue;
         Jac8 acc;
@@ -815,10 +928,7 @@ static void msm_window_group_ifma(const u8 *scalars, const u32 *indices,
         while (dblm) {
             int L = __builtin_ctz(dblm);
             dblm = (__mmask8)(dblm & (dblm - 1));
-            Pt p, r;
-            slot_to_pt(p, bp[L]);
-            pt_add_mixed(r, p, ap.x, ap.y);
-            slot_from_pt(bp[L], r);
+            scalar_bucket_add(bp[L], ap);
         }
     }
 
