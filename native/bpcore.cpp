@@ -421,10 +421,14 @@ static const u64 ONE52[5]   = {0xffffffffffe01ULL, 0xfffffffffffffULL,
 static const u64 R2_52[5]   = {0xd737e00040001ULL, 0x330ffffffffffULL,
                                0xf800000000001ULL, 0x0010ffffffff6ULL,
                                0x007d4ab5e0088ULL}; // 2^520 mod P
-// 2P with borrow-proof per-limb padding (each limb >= any canonical limb)
-static const u64 PAD2P[5]   = {0x20000000000002ULL, 0x1ffffffffffffeULL,
-                               0x1ffffffffffffeULL, 0x20021ffffffffeULL,
-                               0x00ffffffffffeULL};
+// Lazy-reduction domain: every Fe8 value is kept < 2P (one AMM bound);
+// subtraction adds a borrow-proof padded 3P (valid for subtrahends < 2P),
+// conditional reduction is against 2P.
+static const u64 PAD3P[5]   = {0x20000000000003ULL, 0x1ffffffffffffeULL,
+                               0x1ffffffffffffeULL, 0x20032ffffffffeULL,
+                               0x017fffffffffeULL};
+static const u64 P2_52[5]   = {0x2, 0, 0, 0x0022000000000ULL,
+                               0x0100000000000ULL};
 
 // ---- scalar radix-52 Montgomery (conversions + rare-lane fixups) ----
 
@@ -538,13 +542,13 @@ static inline void fe8_carry(Fe8 &a) {
     }
 }
 
-static inline void fe8_cond_sub(Fe8 &a) {
+static inline void fe8_cond_sub_mod(Fe8 &a, const u64 mod[5]) {
     const __m512i M1 = _mm512_set1_epi64((long long)(MASK52 + 1));
     __m512i d[5];
     __m512i borrow = _mm512_setzero_si512();
     for (int i = 0; i < 5; ++i) {
         __m512i t = _mm512_add_epi64(a.l[i], M1);
-        t = _mm512_sub_epi64(t, _mm512_set1_epi64((long long)P52[i]));
+        t = _mm512_sub_epi64(t, _mm512_set1_epi64((long long)mod[i]));
         t = _mm512_sub_epi64(t, borrow);
         d[i] = _mm512_and_si512(t, m52v());
         borrow = _mm512_xor_si512(_mm512_srli_epi64(t, 52),
@@ -555,20 +559,22 @@ static inline void fe8_cond_sub(Fe8 &a) {
         a.l[i] = _mm512_mask_blend_epi64(geq, a.l[i], d[i]);
 }
 
+static inline void fe8_cond_sub(Fe8 &a) { fe8_cond_sub_mod(a, P52); }
+
 static inline void fe8_add(Fe8 &r, const Fe8 &a, const Fe8 &b) {
     for (int i = 0; i < 5; ++i) r.l[i] = _mm512_add_epi64(a.l[i], b.l[i]);
     fe8_carry(r);
-    fe8_cond_sub(r);
+    fe8_cond_sub_mod(r, P2_52);
 }
 
 static inline void fe8_sub(Fe8 &r, const Fe8 &a, const Fe8 &b) {
     for (int i = 0; i < 5; ++i) {
-        __m512i t = _mm512_add_epi64(a.l[i], _mm512_set1_epi64((long long)PAD2P[i]));
+        __m512i t = _mm512_add_epi64(a.l[i], _mm512_set1_epi64((long long)PAD3P[i]));
         r.l[i] = _mm512_sub_epi64(t, b.l[i]);
     }
     fe8_carry(r);
-    fe8_cond_sub(r);
-    fe8_cond_sub(r);
+    fe8_cond_sub_mod(r, P2_52);
+    fe8_cond_sub_mod(r, P2_52);
 }
 
 // 8 independent Montgomery multiplications (radix-52 CIOS; P52[1]=P52[2]=0)
@@ -602,10 +608,18 @@ static void fe8_mul(Fe8 &r, const Fe8 &a, const Fe8 &b) {
     }
     r.l[0] = t0; r.l[1] = t1; r.l[2] = t2; r.l[3] = t3; r.l[4] = t4;
     fe8_carry(r);
-    fe8_cond_sub(r);
+    // AMM: inputs < 2P give output < P + 4P^2/2^260 < 2P — no reduction
 }
 
 static inline void fe8_sqr(Fe8 &r, const Fe8 &a) { fe8_mul(r, a, a); }
+
+// a == b (mod p) for lazy values < 2P: their padded difference, reduced to
+// [0, 2P), is 0 or P.
+static inline __mmask8 fe8_diff_is_zero_mod(const Fe8 &d) {
+    Fe8 pp;
+    fe8_bcast(pp, P52);
+    return fe8_is_zero(d) | fe8_eq(d, pp);
+}
 
 // ---- 8-way Jacobian point ops (a = 1 curve) ----
 
@@ -650,18 +664,17 @@ static __mmask8 pt8_add_mixed(Jac8 &io, const Fe8 &qx, const Fe8 &qy,
     fe8_mul(U2, qx, Z1Z1);
     fe8_mul(t, qy, io.Z);
     fe8_mul(S2, t, Z1Z1);
-    __mmask8 xeq = fe8_eq(io.X, U2) & active & (__mmask8)~identp;
-    __mmask8 yeq = fe8_eq(io.Y, S2);
-    __mmask8 dblm = xeq & yeq;
-    __mmask8 negm = xeq & (__mmask8)~yeq;
-
     Fe8 H, HH, I, J, rr, V, X3, Y3, Z3, t2;
     fe8_sub(H, U2, io.X);
+    fe8_sub(rr, S2, io.Y);
+    __mmask8 xeq = fe8_diff_is_zero_mod(H) & active & (__mmask8)~identp;
+    __mmask8 yeq = fe8_diff_is_zero_mod(rr);
+    __mmask8 dblm = xeq & yeq;
+    __mmask8 negm = xeq & (__mmask8)~yeq;
     fe8_sqr(HH, H);
     fe8_add(I, HH, HH);
     fe8_add(I, I, I);
     fe8_mul(J, H, I);
-    fe8_sub(rr, S2, io.Y);
     fe8_add(rr, rr, rr);
     fe8_mul(V, io.X, I);
     fe8_sqr(X3, rr);
@@ -709,19 +722,19 @@ static void pt8_add_mixed2(Jac8 io[2], const Fe8 qx[2], const Fe8 qy[2],
     for (int u = 0; u < 2; ++u) fe8_mul(U2[u], qx[u], Z1Z1[u]);
     for (int u = 0; u < 2; ++u) fe8_mul(t[u], qy[u], io[u].Z);
     for (int u = 0; u < 2; ++u) fe8_mul(S2[u], t[u], Z1Z1[u]);
+    Fe8 H[2], HH[2], I[2], J[2], rr[2], V[2], X3[2], Y3[2], Z3[2], t2[2];
+    for (int u = 0; u < 2; ++u) fe8_sub(H[u], U2[u], io[u].X);
+    for (int u = 0; u < 2; ++u) fe8_sub(rr[u], S2[u], io[u].Y);
     for (int u = 0; u < 2; ++u) {
-        xeq[u] = fe8_eq(io[u].X, U2[u]) & active[u] & (__mmask8)~identp[u];
-        yeq[u] = fe8_eq(io[u].Y, S2[u]);
+        xeq[u] = fe8_diff_is_zero_mod(H[u]) & active[u] & (__mmask8)~identp[u];
+        yeq[u] = fe8_diff_is_zero_mod(rr[u]);
         dblm[u] = xeq[u] & yeq[u];
         negm[u] = xeq[u] & (__mmask8)~yeq[u];
     }
-    Fe8 H[2], HH[2], I[2], J[2], rr[2], V[2], X3[2], Y3[2], Z3[2], t2[2];
-    for (int u = 0; u < 2; ++u) fe8_sub(H[u], U2[u], io[u].X);
     for (int u = 0; u < 2; ++u) fe8_mul(HH[u], H[u], H[u]);
     for (int u = 0; u < 2; ++u) { fe8_add(I[u], HH[u], HH[u]); }
     for (int u = 0; u < 2; ++u) { fe8_add(I[u], I[u], I[u]); }
     for (int u = 0; u < 2; ++u) fe8_mul(J[u], H[u], I[u]);
-    for (int u = 0; u < 2; ++u) { fe8_sub(rr[u], S2[u], io[u].Y); }
     for (int u = 0; u < 2; ++u) { fe8_add(rr[u], rr[u], rr[u]); }
     for (int u = 0; u < 2; ++u) fe8_mul(V[u], io[u].X, I[u]);
     for (int u = 0; u < 2; ++u) fe8_mul(X3[u], rr[u], rr[u]);
@@ -767,17 +780,16 @@ static __mmask8 pt8_add(Jac8 &io, const Jac8 &q, __mmask8 active) {
     fe8_mul(t, q.Y, io.Z);
     fe8_mul(S2, t, Z1Z1);
     __mmask8 live = active & (__mmask8)~(identp | identq);
-    __mmask8 xeq = fe8_eq(U1, U2) & live;
-    __mmask8 yeq = fe8_eq(S1, S2);
-    __mmask8 dblm = xeq & yeq;
-    __mmask8 negm = xeq & (__mmask8)~yeq;
-
     Fe8 H, I, J, rr, V, X3, Y3, Z3, t2;
     fe8_sub(H, U2, U1);
+    fe8_sub(rr, S2, S1);
+    __mmask8 xeq = fe8_diff_is_zero_mod(H) & live;
+    __mmask8 yeq = fe8_diff_is_zero_mod(rr);
+    __mmask8 dblm = xeq & yeq;
+    __mmask8 negm = xeq & (__mmask8)~yeq;
     fe8_add(I, H, H);
     fe8_sqr(I, I);
     fe8_mul(J, H, I);
-    fe8_sub(rr, S2, S1);
     fe8_add(rr, rr, rr);
     fe8_mul(V, U1, I);
     fe8_sqr(X3, rr);
