@@ -36,7 +36,22 @@ class PedersenGens:
 
     def commit(self, value: Scalar, blinding: Scalar) -> StarkPoint:
         """``B * value + B_blinding * blinding`` (src/generators.rs:41-43)."""
+        from .utils import native
+
+        if native.available():
+            return native.commit_batch([value], [blinding], self.B, self.B_blinding)[0]
         return StarkPoint.msm([value, blinding], [self.B, self.B_blinding])
+
+    def commit_batch(self, values, blindings) -> list[StarkPoint]:
+        """Batched Pedersen commits (fixed-base window tables)."""
+        from .utils import native
+
+        if native.available():
+            return native.commit_batch(values, blindings, self.B, self.B_blinding)
+        return [
+            StarkPoint.msm([v, b], [self.B, self.B_blinding])
+            for v, b in zip(values, blindings)
+        ]
 
     def commit_shared(self, value, blinding):
         """Commit to an additively-shared value; returns an authenticated

@@ -33,14 +33,14 @@ def _lib():
         lib = ctypes.CDLL(path)
     except OSError:
         return None
-    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u8p = ctypes.c_void_p
     lib.bp_keccak256.argtypes = [u8p, ctypes.c_size_t, u8p]
     lib.bp_msm.argtypes = [u8p] * 4 + [ctypes.c_size_t] + [u8p] * 3
     lib.bp_points_new.argtypes = [u8p, u8p, u8p, ctypes.c_size_t]
     lib.bp_points_new.restype = ctypes.c_void_p
     lib.bp_points_free.argtypes = [ctypes.c_void_p]
     lib.bp_msm_indexed.argtypes = [
-        ctypes.c_void_p, u8p, ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
+        ctypes.c_void_p, u8p, ctypes.c_void_p, ctypes.c_size_t,
         u8p, u8p, u8p,
     ]
     lib.bp_fold_points.argtypes = [u8p] * 8 + [ctypes.c_size_t] + [u8p] * 3
@@ -55,7 +55,7 @@ def available() -> bool:
 
 
 def _buf(arr: np.ndarray):
-    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    return arr.ctypes.data
 
 
 def keccak256(data: bytes) -> bytes:
@@ -195,7 +195,7 @@ class PointTable:
         oi = np.zeros(1, dtype=np.uint8)
         self._lib.bp_msm_indexed(
             self._handle, _buf(s),
-            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(idx),
+            idx.ctypes.data, len(idx),
             _buf(ox), _buf(oy), _buf(oi),
         )
         return _unpack_points(ox[None], oy[None], oi)[0]
@@ -212,7 +212,7 @@ def _setup_ipp(lib):
 
     if getattr(lib, "_ipp_ready", False):
         return
-    u8p = ct.POINTER(ct.c_uint8)
+    u8p = ct.c_void_p
     lib.bp_ipp_create.argtypes = (
         [u8p]                      # transcript state
         + [u8p, u8p, ct.c_uint8]   # Q
@@ -281,9 +281,9 @@ def sum_selected(bits, points):
     """Sum of points at positions where ``bits`` is truthy (bit commitments
     need no scalar multiplications)."""
     lib = _lib()
-    lib.bp_sum_selected.argtypes = [ctypes.POINTER(ctypes.c_uint8)] * 4 + [
+    lib.bp_sum_selected.argtypes = [ctypes.c_void_p] * 4 + [
         ctypes.c_size_t
-    ] + [ctypes.POINTER(ctypes.c_uint8)] * 3
+    ] + [ctypes.c_void_p] * 3
     n = len(points)
     b = np.asarray([1 if x else 0 for x in bits], dtype=np.uint8)
     xs, ys, inf = _pack_points(points)
@@ -299,8 +299,8 @@ def rng_fill(state: bytes, counter: int, nblocks: int) -> bytes:
     """Batched counter-mode keccak blocks (TranscriptRng backend)."""
     lib = _lib()
     lib.bp_rng_fill.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64, ctypes.c_size_t,
-        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_size_t,
+        ctypes.c_void_p,
     ]
     st = np.frombuffer(state, dtype=np.uint8).copy()
     out = np.zeros(32 * nblocks, dtype=np.uint8)
@@ -316,9 +316,9 @@ def rp_phase1(m, n, vs, s_blinds, sL, sR, g_pack, h_pack, ab_pack, bb):
     ``bb``: B_blinding. Returns (A_list, S_list).
     """
     lib = _lib()
-    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u8p = ctypes.c_void_p
     lib.bp_rp_phase1.argtypes = (
-        [ctypes.c_size_t, ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64)]
+        [ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
         + [u8p] * 3 + [u8p] * 6 + [u8p] * 3 + [u8p] * 2 + [u8p] * 6
     )
     vs_arr = np.asarray(vs, dtype=np.uint64)
@@ -328,7 +328,7 @@ def rp_phase1(m, n, vs, s_blinds, sL, sR, g_pack, h_pack, ab_pack, bb):
     sx = np.zeros((m, 32), np.uint8); sy = np.zeros((m, 32), np.uint8)
     si = np.zeros(m, np.uint8)
     lib.bp_rp_phase1(
-        m, n, vs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        m, n, vs_arr.ctypes.data,
         _buf(s_blinds), _buf(sL), _buf(sR),
         _buf(g_pack[0]), _buf(g_pack[1]), _buf(g_pack[2]),
         _buf(h_pack[0]), _buf(h_pack[1]), _buf(h_pack[2]),
@@ -342,9 +342,9 @@ def rp_phase1(m, n, vs, s_blinds, sL, sR, g_pack, h_pack, ab_pack, bb):
 def rp_phase2(m, n, vs, y, z, sL, sR):
     """Batched party phase 2: returns (t012 bytes (m,96), l0, l1, r0, r1)."""
     lib = _lib()
-    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u8p = ctypes.c_void_p
     lib.bp_rp_phase2.argtypes = (
-        [ctypes.c_size_t, ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64)]
+        [ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
         + [u8p] * 9
     )
     vs_arr = np.asarray(vs, dtype=np.uint64)
@@ -353,7 +353,7 @@ def rp_phase2(m, n, vs, y, z, sL, sR):
     l0 = np.zeros((m * n, 32), np.uint8); l1 = np.zeros((m * n, 32), np.uint8)
     r0 = np.zeros((m * n, 32), np.uint8); r1 = np.zeros((m * n, 32), np.uint8)
     lib.bp_rp_phase2(
-        m, n, vs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        m, n, vs_arr.ctypes.data,
         _buf(yb), _buf(zb), _buf(sL), _buf(sR),
         _buf(t012), _buf(l0), _buf(l1), _buf(r0), _buf(r1),
     )
@@ -363,7 +363,7 @@ def rp_phase2(m, n, vs, y, z, sL, sR):
 def rp_phase3(m, n, x, l0, l1, r0, r1):
     """Batched l(x), r(x) evaluation: returns (l, r) packed arrays."""
     lib = _lib()
-    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u8p = ctypes.c_void_p
     lib.bp_rp_phase3.argtypes = [ctypes.c_size_t, ctypes.c_size_t] + [u8p] * 7
     xb = _pack_scalars([x])
     out_l = np.zeros((m * n, 32), np.uint8)
@@ -371,3 +371,34 @@ def rp_phase3(m, n, x, l0, l1, r0, r1):
     lib.bp_rp_phase3(m, n, _buf(xb), _buf(l0), _buf(l1), _buf(r0), _buf(r1),
                      _buf(out_l), _buf(out_r))
     return out_l, out_r
+
+_commit_ready = False
+_base_pack_cache: dict = {}
+
+
+def commit_batch(values, blinds, B, B_blinding):
+    """Pedersen commits value_i*B + blind_i*B~ via fixed-base window tables."""
+    global _commit_ready
+    lib = _lib()
+    if not _commit_ready:
+        u8p = ctypes.c_void_p
+        lib.bp_commit_batch.argtypes = [u8p, u8p, ctypes.c_size_t] + [u8p] * 4 + [u8p] * 3
+        _commit_ready = True
+    key = (id(B), id(B_blinding))
+    packs = _base_pack_cache.get(key)
+    if packs is None:
+        bx, by, _ = _pack_points([B])
+        b2x, b2y, _ = _pack_points([B_blinding])
+        packs = (bx, by, b2x, b2y)
+        if len(_base_pack_cache) < 64:
+            _base_pack_cache[key] = packs
+    bx, by, b2x, b2y = packs
+    n = len(values)
+    v = _pack_scalars(values)
+    b = _pack_scalars(blinds)
+    ox = np.zeros((n, 32), np.uint8)
+    oy = np.zeros((n, 32), np.uint8)
+    oi = np.zeros(n, np.uint8)
+    lib.bp_commit_batch(_buf(v), _buf(b), n, _buf(bx), _buf(by),
+                        _buf(b2x), _buf(b2y), _buf(ox), _buf(oy), _buf(oi))
+    return _unpack_points(ox, oy, oi)

@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <vector>
 #include <thread>
+#include <mutex>
 #include <atomic>
 
 typedef unsigned __int128 u128;
@@ -1749,6 +1750,146 @@ extern "C" void bp_rp_phase3(
         fr_add(a, a, t);
         fr_to_bytes(out_r + 32 * i, a);
     }
+}
+
+
+// ---- fixed-base window tables + Pedersen commit batches ----
+// Pedersen commits are always over the same (B, B_blinding) pair; an 8-bit
+// window table (32 windows x 255 multiples, affine) reduces value*B +
+// blind*B~ to ~64 mixed adds with no doublings.
+
+struct FixedBaseTable {
+    Fp key_x, key_y;
+    std::vector<AffinePt> tbl;   // [w * 255 + (d-1)] = d * 2^(8w) * B
+    bool init = false;
+};
+
+static const int FB_SLOTS = 8;
+static FixedBaseTable g_fb_tables[FB_SLOTS];
+static int g_fb_evict = 0;
+static std::mutex g_fb_mutex;
+
+// Find or build the window table for a base.  ``avoid`` is the slot of a
+// table the caller also holds (never evicted by this call).
+static const FixedBaseTable &fb_table_locked(const Fp &bx, const Fp &by,
+                                             int avoid, int &slot_out) {
+    int free_slot = -1;
+    for (int s = 0; s < FB_SLOTS; ++s) {
+        if (g_fb_tables[s].init && fp_eq(g_fb_tables[s].key_x, bx) &&
+            fp_eq(g_fb_tables[s].key_y, by)) {
+            slot_out = s;
+            return g_fb_tables[s];
+        }
+        if (!g_fb_tables[s].init && free_slot < 0) free_slot = s;
+    }
+    int s = free_slot;
+    if (s < 0) {
+        do { s = g_fb_evict; g_fb_evict = (g_fb_evict + 1) % FB_SLOTS; }
+        while (s == avoid);
+    }
+    slot_out = s;
+    FixedBaseTable &t = g_fb_tables[s];
+    t.key_x = bx; t.key_y = by;
+    Pt base; base.X = bx; base.Y = by; base.Z = FP_ONE;
+    std::vector<Pt> jac(32 * 255);
+    Pt cur = base;
+    for (int w = 0; w < 32; ++w) {
+        Pt acc = cur;
+        for (int d = 1; d <= 255; ++d) {
+            jac[w * 255 + d - 1] = acc;
+            if (d < 255) { Pt nx; pt_add(nx, acc, cur); acc = nx; }
+        }
+        for (int k = 0; k < 8; ++k) { Pt nx; pt_dbl(nx, cur); cur = nx; }
+    }
+    std::vector<u8> xs(32 * jac.size()), ys(32 * jac.size()), inf(jac.size());
+    pt_to_affine_batch(xs.data(), ys.data(), inf.data(), jac.data(), jac.size());
+    t.tbl.resize(jac.size());
+    for (size_t i = 0; i < jac.size(); ++i) {
+        t.tbl[i].inf = inf[i];
+        if (!inf[i]) {
+            fp_from_bytes(t.tbl[i].x, xs.data() + 32 * i);
+            fp_from_bytes(t.tbl[i].y, ys.data() + 32 * i);
+        }
+    }
+    t.init = true;
+    return t;
+}
+
+static void fb_tables_pair(const Fp &b1x, const Fp &b1y,
+                           const Fp &b2x, const Fp &b2y,
+                           const FixedBaseTable *&t1, const FixedBaseTable *&t2) {
+    std::lock_guard<std::mutex> lk(g_fb_mutex);
+    int s1, s2;
+    t1 = &fb_table_locked(b1x, b1y, -1, s1);
+    t2 = &fb_table_locked(b2x, b2y, s1, s2);
+}
+
+static const FixedBaseTable &fb_table(const Fp &bx, const Fp &by) {
+    std::lock_guard<std::mutex> lk(g_fb_mutex);
+    int s;
+    return fb_table_locked(bx, by, -1, s);
+}
+
+static void fb_mul_acc(Pt &acc, const FixedBaseTable &t, const u8 *scalar) {
+    for (int w = 0; w < 32; ++w) {
+        u8 d = scalar[w];
+        if (!d) continue;
+        const AffinePt &e = t.tbl[w * 255 + d - 1];
+        if (e.inf) continue;
+        Pt nx;
+        pt_add_mixed(nx, acc, e.x, e.y);
+        acc = nx;
+    }
+}
+
+extern "C" void bp_commit_batch(const u8 *values, const u8 *blinds, size_t n,
+                                const u8 *bx, const u8 *by,
+                                const u8 *b2x, const u8 *b2y,
+                                u8 *ox, u8 *oy, u8 *oinf) {
+    Fp B_x, B_y, B2_x, B2_y;
+    fp_from_bytes(B_x, bx); fp_from_bytes(B_y, by);
+    fp_from_bytes(B2_x, b2x); fp_from_bytes(B2_y, b2y);
+    const FixedBaseTable *t1p, *t2p;
+    fb_tables_pair(B_x, B_y, B2_x, B2_y, t1p, t2p);
+    const FixedBaseTable &t1 = *t1p, &t2 = *t2p;
+    std::vector<Pt> out(n);
+    auto work = [&](size_t i) {
+        Pt acc = PT_IDENT;
+        fb_mul_acc(acc, t1, values + 32 * i);
+        fb_mul_acc(acc, t2, blinds + 32 * i);
+        out[i] = acc;
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t nt = hw ? hw : 1;
+    if (nt > n) nt = n;
+    if (n < 16 || nt <= 1) {
+        for (size_t i = 0; i < n; ++i) work(i);
+    } else {
+        std::vector<std::thread> th;
+        std::atomic<size_t> next(0);
+        for (size_t k = 0; k < nt; ++k)
+            th.emplace_back([&]() {
+                for (size_t i = next.fetch_add(1); i < n; i = next.fetch_add(1)) work(i);
+            });
+        for (auto &x : th) x.join();
+    }
+    pt_to_affine_batch(ox, oy, oinf, out.data(), n);
+}
+
+// Fixed-base scalar-mul batch through the same window tables.
+extern "C" void bp_fixed_base_mul_tbl(const u8 *scalars, size_t n,
+                                      const u8 *base_x, const u8 *base_y,
+                                      u8 *out_x, u8 *out_y, u8 *out_inf) {
+    Fp bx, by;
+    fp_from_bytes(bx, base_x); fp_from_bytes(by, base_y);
+    const FixedBaseTable &t = fb_table(bx, by);
+    std::vector<Pt> out(n);
+    for (size_t i = 0; i < n; ++i) {
+        Pt acc = PT_IDENT;
+        fb_mul_acc(acc, t, scalars + 32 * i);
+        out[i] = acc;
+    }
+    pt_to_affine_batch(out_x, out_y, out_inf, out.data(), n);
 }
 
 // ---- counter-mode keccak RNG fill: out[i] = keccak(state || LE64(ctr+i)) ----

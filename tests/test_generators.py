@@ -47,3 +47,37 @@ def test_party_chains_are_namespaced():
     assert gens.G_vec[0] != gens.G_vec[1]
     assert gens.H_vec[0] != gens.H_vec[1]
     assert gens.G_vec[0] != gens.H_vec[0]
+
+
+def test_commit_table_cache_rotation():
+    """Fixed-base table cache: >8 distinct base pairs force eviction; the
+    two tables of one commit call must never alias (regression: pair
+    eviction clobbered the first table's slot)."""
+    import random
+
+    from mpc_bulletproof_tpu import PedersenGens, Scalar, StarkPoint
+
+    rng = random.Random(9)
+    g = StarkPoint.generator()
+    for k in range(12):
+        B = g.scalar_mul(Scalar(rng.getrandbits(200)))
+        Bb = g.scalar_mul(Scalar(rng.getrandbits(200)))
+        pc = PedersenGens(B, Bb)
+        v, b = Scalar(rng.getrandbits(251)), Scalar(rng.getrandbits(251))
+        assert pc.commit(v, b) == B.scalar_mul(v) + Bb.scalar_mul(b), k
+
+
+def test_commit_batch_matches_singles():
+    import random
+
+    from mpc_bulletproof_tpu import PedersenGens, Scalar, StarkPoint
+
+    rng = random.Random(10)
+    pc = PedersenGens()
+    vs = [Scalar(rng.getrandbits(251)) for _ in range(9)]
+    bs = [Scalar(rng.getrandbits(251)) for _ in range(9)]
+    batch = pc.commit_batch(vs, bs)
+    for v, b, got in zip(vs, bs, batch):
+        assert got == StarkPoint.msm([v, b], [pc.B, pc.B_blinding])
+    assert pc.commit_batch([], []) == []
+    assert pc.commit(Scalar(0), Scalar(0)).is_identity()
