@@ -148,6 +148,10 @@ class StarkPoint:
         k = int(scalar) % R
         if k == 0 or self.is_identity():
             return StarkPoint.identity()
+        from ..utils import native
+
+        if native.available():
+            return native.fixed_base_mul([k], self)[0]
         # Precompute odd multiples? Simple fixed 4-bit window table.
         table = [_JacPoint.identity()] * 16
         base = _JacPoint.from_affine(self)

@@ -384,7 +384,10 @@ def commit_batch(values, blinds, B, B_blinding):
         u8p = ctypes.c_void_p
         lib.bp_commit_batch.argtypes = [u8p, u8p, ctypes.c_size_t] + [u8p] * 4 + [u8p] * 3
         _commit_ready = True
-    key = (id(B), id(B_blinding))
+    key = (
+        (0, 0) if B.is_identity() else (B.x, B.y),
+        (0, 0) if B_blinding.is_identity() else (B_blinding.x, B_blinding.y),
+    )
     packs = _base_pack_cache.get(key)
     if packs is None:
         bx, by, _ = _pack_points([B])

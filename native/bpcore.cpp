@@ -18,6 +18,8 @@
 #include <vector>
 #include <thread>
 #include <mutex>
+#include <functional>
+#include <condition_variable>
 #include <atomic>
 
 typedef unsigned __int128 u128;
@@ -392,6 +394,97 @@ void bp_keccak256(const u8 *data, size_t len, u8 out[32]) {
     }
     keccak_f(st);
     memcpy(out, st, 32);
+}
+
+
+// ---- persistent worker pool (thread spawn costs ~30us; tiny MSMs and
+// per-party kernels would otherwise pay it dozens of times per proof) ----
+
+struct WorkPool {
+    std::mutex mu;
+    std::condition_variable cv_work, cv_done;
+    const std::function<void(size_t)> *fn = nullptr;
+    std::atomic<size_t> next{0};
+    std::atomic<size_t> done{0};
+    size_t total = 0;
+    u64 epoch = 0;
+    bool stop = false;
+    std::vector<std::thread> ths;
+
+    WorkPool() {
+        unsigned hw = std::thread::hardware_concurrency();
+        int n = hw ? (int)hw : 1;
+        // the calling thread participates, so keep hw-1 workers
+        for (int i = 0; i < n - 1; ++i) ths.emplace_back([this] { loop(); });
+    }
+    ~WorkPool() {
+        {
+            std::lock_guard<std::mutex> lk(mu);
+            stop = true;
+        }
+        cv_work.notify_all();
+        for (auto &t : ths) t.join();
+    }
+    void drain(const std::function<void(size_t)> *f) {
+        size_t n_done = 0;
+        for (size_t i = next.fetch_add(1); i < total; i = next.fetch_add(1)) {
+            (*f)(i);
+            ++n_done;
+        }
+        if (n_done && done.fetch_add(n_done) + n_done == total) {
+            std::lock_guard<std::mutex> lk(mu);
+            cv_done.notify_all();
+        }
+    }
+    void loop() {
+        u64 seen = 0;
+        for (;;) {
+            const std::function<void(size_t)> *f;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_work.wait(lk, [&] { return stop || epoch != seen; });
+                if (stop) return;
+                seen = epoch;
+                f = fn;
+            }
+            drain(f);
+        }
+    }
+    // Completion counts finished ITEMS, not woken workers: a straggler that
+    // wakes after the work is gone neither blocks nor corrupts the batch.
+    void run(size_t n_items, const std::function<void(size_t)> &f) {
+        {
+            std::lock_guard<std::mutex> lk(mu);
+            fn = &f;
+            total = n_items;
+            next.store(0);
+            done.store(0);
+            ++epoch;
+        }
+        cv_work.notify_all();
+        drain(&f);  // the caller works too
+        std::unique_lock<std::mutex> lk(mu);
+        cv_done.wait(lk, [&] { return done.load() == total; });
+    }
+};
+
+static thread_local bool g_in_pool = false;
+
+// parallel_for: run fn(0..n-1) on the pool; serial when nested or tiny.
+static void parallel_for(size_t n, int max_threads,
+                         const std::function<void(size_t)> &fn) {
+    static WorkPool *pool = new WorkPool();  // leaked: workers live for the process
+    if (n == 0) return;
+    if (g_in_pool || n == 1 || max_threads <= 1) {
+        for (size_t i = 0; i < n; ++i) fn(i);
+        return;
+    }
+    auto wrapped = [&fn](size_t i) {
+        g_in_pool = true;
+        fn(i);
+        g_in_pool = false;
+    };
+    pool->run(n, wrapped);
 }
 
 // ---- Pippenger MSM (mixed bucket adds, threaded windows) ----
@@ -1089,21 +1182,12 @@ static void msm_run(const u8 *scalars, const u32 *indices,
         int ngroups = (windows + 7) / 8;
         int nt = nthreads < ngroups ? nthreads : ngroups;
         if (k < 64) nt = 1;
-        auto worker = [&](int t) {
-            for (int g = t; g < ngroups; g += nt) {
-                int w0 = g * 8;
-                int nl = windows - w0 < 8 ? windows - w0 : 8;
-                msm_window_group_ifma(scalars, indices, pts, fe52_cache, k, c,
-                                      w0, nl, window_sums.data());
-            }
-        };
-        if (nt <= 1) {
-            worker(0);
-        } else {
-            std::vector<std::thread> threads;
-            for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
-            for (auto &th : threads) th.join();
-        }
+        parallel_for((size_t)ngroups, nt, [&](size_t g) {
+            int w0 = (int)g * 8;
+            int nl = windows - w0 < 8 ? windows - w0 : 8;
+            msm_window_group_ifma(scalars, indices, pts, fe52_cache, k, c,
+                                  w0, nl, window_sums.data());
+        });
         msm_combine(window_sums.data(), windows, c, out_x, out_y, out_inf);
         return;
     }
@@ -1117,16 +1201,15 @@ static void msm_run(const u8 *scalars, const u32 *indices,
     if (nthreads <= 1) {
         msm_window_range(scalars, indices, pts, k, c, 0, windows, window_sums.data());
     } else {
-        std::vector<std::thread> threads;
         int per = (windows + nthreads - 1) / nthreads;
-        for (int t = 0; t < nthreads; ++t) {
-            int b = t * per, e = b + per;
+        int tasks = (windows + per - 1) / per;
+        parallel_for((size_t)tasks, nthreads, [&](size_t t) {
+            int b = (int)t * per, e = b + per;
             if (e > windows) e = windows;
-            if (b >= e) break;
-            threads.emplace_back(msm_window_range, scalars, indices, std::cref(pts),
-                                 k, c, b, e, window_sums.data());
-        }
-        for (auto &th : threads) th.join();
+            if (b < e)
+                msm_window_range(scalars, indices, pts, k, c, b, e,
+                                 window_sums.data());
+        });
     }
     msm_combine(window_sums.data(), windows, c, out_x, out_y, out_inf);
 }
@@ -1622,19 +1705,7 @@ extern "C" void bp_rp_phase1(
         pt_from_affine(Ss[j], sx, sy, si);
     };
     unsigned hw = std::thread::hardware_concurrency();
-    size_t nt = hw ? hw : 1;
-    if (nt > m) nt = m;
-    if (nt <= 1) {
-        for (size_t j = 0; j < m; ++j) party(j);
-    } else {
-        std::vector<std::thread> th;
-        std::atomic<size_t> next(0);
-        for (size_t t = 0; t < nt; ++t)
-            th.emplace_back([&]() {
-                for (size_t j = next.fetch_add(1); j < m; j = next.fetch_add(1)) party(j);
-            });
-        for (auto &x : th) x.join();
-    }
+    parallel_for(m, (int)(hw ? hw : 1), party);
     pt_to_affine_batch(out_ax, out_ay, out_ainf, As.data(), m);
     pt_to_affine_batch(out_sx, out_sy, out_sinf, Ss.data(), m);
 }
@@ -1712,20 +1783,8 @@ extern "C" void bp_rp_phase2(
         fr_mul(t, oz, z); oz = t;
     }
     unsigned hw = std::thread::hardware_concurrency();
-    size_t nt = hw ? hw : 1;
-    if (nt > m) nt = m;
-    if (nt <= 1 || m < 2) {
-        for (size_t j = 0; j < m; ++j) party(j, oys[j], ozs[j]);
-    } else {
-        std::vector<std::thread> th;
-        std::atomic<size_t> next(0);
-        for (size_t t = 0; t < nt; ++t)
-            th.emplace_back([&]() {
-                for (size_t j = next.fetch_add(1); j < m; j = next.fetch_add(1))
-                    party(j, oys[j], ozs[j]);
-            });
-        for (auto &x : th) x.join();
-    }
+    parallel_for(m, (int)(hw ? hw : 1),
+                 [&](size_t j) { party(j, oys[j], ozs[j]); });
 }
 
 // Phase 3: evaluate l(x), r(x) per party.
@@ -1860,19 +1919,7 @@ extern "C" void bp_commit_batch(const u8 *values, const u8 *blinds, size_t n,
         out[i] = acc;
     };
     unsigned hw = std::thread::hardware_concurrency();
-    size_t nt = hw ? hw : 1;
-    if (nt > n) nt = n;
-    if (n < 16 || nt <= 1) {
-        for (size_t i = 0; i < n; ++i) work(i);
-    } else {
-        std::vector<std::thread> th;
-        std::atomic<size_t> next(0);
-        for (size_t k = 0; k < nt; ++k)
-            th.emplace_back([&]() {
-                for (size_t i = next.fetch_add(1); i < n; i = next.fetch_add(1)) work(i);
-            });
-        for (auto &x : th) x.join();
-    }
+    parallel_for(n, n < 16 ? 1 : (int)(hw ? hw : 1), work);
     pt_to_affine_batch(ox, oy, oinf, out.data(), n);
 }
 
