@@ -155,10 +155,11 @@ def main():
             "base = [g.scalar_mul(Scalar(i + 2)) for i in range(128)]\n"
             "pts = jnp.asarray(cj.points_from_host((base * (n // 128))[:n]))\n"
             "scl = jnp.asarray(cj.scalars_from_host([Scalar(rng.getrandbits(260)) for _ in range(n)]))\n"
-            "r = msm.msm_device(scl, pts); r.block_until_ready()\n"
+            "import numpy as np\n"
+            "r = msm.msm_device(scl, pts); _ = np.asarray(r[0, 0:1])\n"
             "t0 = time.time()\n"
             "for _ in range(5): r = msm.msm_device(scl, pts)\n"
-            "r.block_until_ready()\n"
+            "_ = np.asarray(r[0, 0:1])  # tunnel: block_until_ready can return early\n"
             "dt = (time.time() - t0) / 5\n"
             "print('device msm n=%d: %.1f ms -> %.3f Mpoints/s' % (n, dt*1e3, n/dt/1e6))\n"
         )
