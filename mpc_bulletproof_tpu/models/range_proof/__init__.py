@@ -407,7 +407,7 @@ def _prove_multiple_native(dealer, bp_gens, pc_gens, values, blindings, n):
     sR_pack = native._pack_scalars(sR)
     sb_pack = native._pack_scalars(s_blinds)
 
-    V = [pc_gens.commit(Scalar(v), b) for v, b in zip(values, blindings)]
+    V = pc_gens.commit_batch([Scalar(v) for v in values], list(blindings))
     ab_pts = native.fixed_base_mul([Scalar(x) for x in a_blinds], pc_gens.B_blinding)
     ab_pack = native._pack_points(ab_pts)
     g_pack, h_pack = bp_gens.packed_aggregate(n, m)
@@ -429,13 +429,12 @@ def _prove_multiple_native(dealer, bp_gens, pc_gens, values, blindings, n):
             for k in range(3)
         ))
     t_blinds = [(rnd(), rnd()) for _ in range(m)]
-    pcs = [
-        PolyCommitment(
-            pc_gens.commit(t_coeffs[j][1], Scalar(t_blinds[j][0])),
-            pc_gens.commit(t_coeffs[j][2], Scalar(t_blinds[j][1])),
-        )
-        for j in range(m)
-    ]
+    T_pts = pc_gens.commit_batch(
+        [t_coeffs[j][1] for j in range(m)] + [t_coeffs[j][2] for j in range(m)],
+        [Scalar(t_blinds[j][0]) for j in range(m)]
+        + [Scalar(t_blinds[j][1]) for j in range(m)],
+    )
+    pcs = [PolyCommitment(T_pts[j], T_pts[m + j]) for j in range(m)]
     dealer, poly_challenge = dealer.receive_poly_commitments(pcs)
     x = poly_challenge.x
 

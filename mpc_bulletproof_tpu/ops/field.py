@@ -19,6 +19,9 @@ from typing import Iterable, Sequence
 from ..constants import R, SCALAR_BYTES
 
 
+_StarkPoint = None
+
+
 class Scalar:
     """An element of the STARK-curve scalar field (integers mod ``R``)."""
 
@@ -69,6 +72,10 @@ class Scalar:
     # -- arithmetic ---------------------------------------------------------
 
     def __add__(self, other):
+        if type(other) is Scalar:  # fast path: the proving hot loops
+            r = Scalar.__new__(Scalar)
+            r.value = (self.value + other.value) % R
+            return r
         if not isinstance(other, (Scalar, int)):
             return NotImplemented  # let Variable/LC reflected ops engage
         return Scalar(self.value + _coerce(other))
@@ -76,6 +83,10 @@ class Scalar:
     __radd__ = __add__
 
     def __sub__(self, other):
+        if type(other) is Scalar:
+            r = Scalar.__new__(Scalar)
+            r.value = (self.value - other.value) % R
+            return r
         if not isinstance(other, (Scalar, int)):
             return NotImplemented
         return Scalar(self.value - _coerce(other))
@@ -86,10 +97,17 @@ class Scalar:
         return Scalar(_coerce(other) - self.value)
 
     def __mul__(self, other):
+        if type(other) is Scalar:
+            r = Scalar.__new__(Scalar)
+            r.value = self.value * other.value % R
+            return r
         # Scalar * StarkPoint is delegated to the point type.
-        from .curve import StarkPoint
+        global _StarkPoint
+        if _StarkPoint is None:
+            from .curve import StarkPoint as _SP
 
-        if isinstance(other, StarkPoint):
+            _StarkPoint = _SP
+        if isinstance(other, _StarkPoint):
             return other.scalar_mul(self)
         if not isinstance(other, (Scalar, int)):
             return NotImplemented

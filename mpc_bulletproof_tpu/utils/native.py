@@ -147,7 +147,11 @@ def fold_points(ul, ur, left, right):
 
 
 def fixed_base_mul(scalars, base):
-    """out_i = scalar_i * base (shared base, e.g. generator chains)."""
+    """out_i = scalar_i * base (shared base, e.g. generator chains).
+
+    Uses the 8-bit window table when one is already cached for this base
+    (Pedersen bases, the curve generator); one-off bases take the
+    4-bit-window path so they never pay a table build."""
     lib = _lib()
     n = len(scalars)
     s = _pack_scalars(scalars)
@@ -156,8 +160,17 @@ def fixed_base_mul(scalars, base):
     ox = np.zeros((n, 32), dtype=np.uint8)
     oy = np.zeros((n, 32), dtype=np.uint8)
     oi = np.zeros(n, dtype=np.uint8)
-    lib.bp_fixed_base_mul(_buf(s), n, _buf(bx), _buf(by),
-                          _buf(ox), _buf(oy), _buf(oi))
+    if not getattr(lib, "_fb_cached_ready", False):
+        lib.bp_fixed_base_mul_cached.restype = ctypes.c_int
+        lib.bp_fixed_base_mul_cached.argtypes = (
+            [ctypes.c_void_p, ctypes.c_size_t] + [ctypes.c_void_p] * 5
+        )
+        lib._fb_cached_ready = True
+    hit = lib.bp_fixed_base_mul_cached(_buf(s), n, _buf(bx), _buf(by),
+                                       _buf(ox), _buf(oy), _buf(oi))
+    if not hit:
+        lib.bp_fixed_base_mul(_buf(s), n, _buf(bx), _buf(by),
+                              _buf(ox), _buf(oy), _buf(oi))
     return _unpack_points(ox, oy, oi)
 
 
@@ -372,18 +385,16 @@ def rp_phase3(m, n, x, l0, l1, r0, r1):
                      _buf(out_l), _buf(out_r))
     return out_l, out_r
 
-_commit_ready = False
 _base_pack_cache: dict = {}
 
 
 def commit_batch(values, blinds, B, B_blinding):
     """Pedersen commits value_i*B + blind_i*B~ via fixed-base window tables."""
-    global _commit_ready
     lib = _lib()
-    if not _commit_ready:
+    if not getattr(lib, "_commit_ready", False):
         u8p = ctypes.c_void_p
         lib.bp_commit_batch.argtypes = [u8p, u8p, ctypes.c_size_t] + [u8p] * 4 + [u8p] * 3
-        _commit_ready = True
+        lib._commit_ready = True
     key = (
         (0, 0) if B.is_identity() else (B.x, B.y),
         (0, 0) if B_blinding.is_identity() else (B_blinding.x, B_blinding.y),

@@ -1923,6 +1923,35 @@ extern "C" void bp_commit_batch(const u8 *values, const u8 *blinds, size_t n,
     pt_to_affine_batch(ox, oy, oinf, out.data(), n);
 }
 
+// Fixed-base mul through the table cache ONLY if already built (callers
+// fall back to the untabled path on miss — building a table for a one-off
+// base would cost more than it saves).  Returns 1 on hit.
+extern "C" int bp_fixed_base_mul_cached(const u8 *scalars, size_t n,
+                                        const u8 *base_x, const u8 *base_y,
+                                        u8 *out_x, u8 *out_y, u8 *out_inf) {
+    Fp bx, by;
+    fp_from_bytes(bx, base_x); fp_from_bytes(by, base_y);
+    const FixedBaseTable *t = nullptr;
+    {
+        std::lock_guard<std::mutex> lk(g_fb_mutex);
+        for (int s = 0; s < FB_SLOTS; ++s)
+            if (g_fb_tables[s].init && fp_eq(g_fb_tables[s].key_x, bx) &&
+                fp_eq(g_fb_tables[s].key_y, by)) {
+                t = &g_fb_tables[s];
+                break;
+            }
+    }
+    if (!t) return 0;
+    std::vector<Pt> out(n);
+    for (size_t i = 0; i < n; ++i) {
+        Pt acc = PT_IDENT;
+        fb_mul_acc(acc, *t, scalars + 32 * i);
+        out[i] = acc;
+    }
+    pt_to_affine_batch(out_x, out_y, out_inf, out.data(), n);
+    return 1;
+}
+
 // Fixed-base scalar-mul batch through the same window tables.
 extern "C" void bp_fixed_base_mul_tbl(const u8 *scalars, size_t n,
                                       const u8 *base_x, const u8 *base_y,
