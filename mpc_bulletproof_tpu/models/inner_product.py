@@ -56,6 +56,7 @@ class InnerProductProof:
         H_vec: list[StarkPoint],
         a_vec: list[Scalar],
         b_vec: list[Scalar],
+        packed_gens=None,
     ) -> "InnerProductProof":
         n = len(G_vec)
         if not all(len(v) == n for v in (H_vec, a_vec, b_vec, G_factors, H_factors)):
@@ -70,7 +71,8 @@ class InnerProductProof:
                 transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec
             )
         return _create_host(
-            transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec
+            transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec,
+            packed_gens,
         )
 
     # ------------------------------------------------------------------
@@ -214,7 +216,7 @@ def _msm(scalars, points) -> StarkPoint:
 # host prover
 # ---------------------------------------------------------------------------
 
-def _create_host(transcript, Q, G_factors, H_factors, G, H, a, b):
+def _create_host(transcript, Q, G_factors, H_factors, G, H, a, b, packed_gens=None):
     """Coefficient-tracking IPP prover.
 
     Instead of materializing folded generator vectors (a per-element double
@@ -236,7 +238,9 @@ def _create_host(transcript, Q, G_factors, H_factors, G, H, a, b):
 
     if native.available() and n >= 8:
         # Full native prover: all rounds run inside the C++ core.
-        return native.ipp_create(transcript, Q, G_factors, H_factors, G, H, a, b)
+        return native.ipp_create(
+            transcript, Q, G_factors, H_factors, G, H, a, b, packed_gens
+        )
 
     MOD = Scalar.MODULUS
     wG = [int(x) for x in G_factors]

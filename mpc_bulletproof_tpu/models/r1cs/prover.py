@@ -245,14 +245,39 @@ class Prover(RandomizableConstraintSystem):
         s_L1 = rng.random_scalars(n1)
         s_R1 = rng.random_scalars(n1)
 
-        # Phase-1 commitments (the HOT MSMs).
+        # Phase-1 commitments (the HOT MSMs) — generator bytes come from the
+        # per-gens pack cache so the fixed vectors are never re-serialized.
         B_b = self.pc_gens.B_blinding
-        A_I1 = _msm(
-            [i_blinding1] + self.a_L + self.a_R,
-            [B_b] + gens.G(n1) + gens.H(n1),
-        )
-        A_O1 = _msm([o_blinding1] + self.a_O, [B_b] + gens.G(n1))
-        S1 = _msm([s_blinding1] + s_L1 + s_R1, [B_b] + gens.G(n1) + gens.H(n1))
+        import numpy as _np
+
+        from ...utils import native as _native
+
+        use_packed = _native.available() and not backend.use_device()
+        if use_packed:
+            cap = bp_gens.gens_capacity
+            (gx, gy, gi), (hx, hy, hi) = bp_gens.packed_aggregate(cap, 1)
+            bbx, bby, bbi = _native._pack_points([B_b])
+
+            def packed_msm(scalars, slices):
+                xs = _np.concatenate([bbx] + [s[0] for s in slices])
+                ys = _np.concatenate([bby] + [s[1] for s in slices])
+                inf = _np.concatenate([bbi] + [s[2] for s in slices])
+                return _native.msm_packed(scalars, xs, ys, inf)
+
+            gsl = lambda a, b: (gx[a:b], gy[a:b], gi[a:b])
+            hsl = lambda a, b: (hx[a:b], hy[a:b], hi[a:b])
+            A_I1 = packed_msm(
+                [i_blinding1] + self.a_L + self.a_R, [gsl(0, n1), hsl(0, n1)]
+            )
+            A_O1 = packed_msm([o_blinding1] + self.a_O, [gsl(0, n1)])
+            S1 = packed_msm([s_blinding1] + s_L1 + s_R1, [gsl(0, n1), hsl(0, n1)])
+        else:
+            A_I1 = _msm(
+                [i_blinding1] + self.a_L + self.a_R,
+                [B_b] + gens.G(n1) + gens.H(n1),
+            )
+            A_O1 = _msm([o_blinding1] + self.a_O, [B_b] + gens.G(n1))
+            S1 = _msm([s_blinding1] + s_L1 + s_R1, [B_b] + gens.G(n1) + gens.H(n1))
 
         t.append_point(b"A_I1", A_I1)
         t.append_point(b"A_O1", A_O1)
@@ -278,15 +303,25 @@ class Prover(RandomizableConstraintSystem):
         s_R2 = rng.random_scalars(n2)
 
         if has_phase2:
-            A_I2 = _msm(
-                [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
-                [B_b] + gens.G(n)[n1:] + gens.H(n)[n1:],
-            )
-            A_O2 = _msm([o_blinding2] + self.a_O[n1:], [B_b] + gens.G(n)[n1:])
-            S2 = _msm(
-                [s_blinding2] + s_L2 + s_R2,
-                [B_b] + gens.G(n)[n1:] + gens.H(n)[n1:],
-            )
+            if use_packed:
+                A_I2 = packed_msm(
+                    [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
+                    [gsl(n1, n), hsl(n1, n)],
+                )
+                A_O2 = packed_msm([o_blinding2] + self.a_O[n1:], [gsl(n1, n)])
+                S2 = packed_msm(
+                    [s_blinding2] + s_L2 + s_R2, [gsl(n1, n), hsl(n1, n)]
+                )
+            else:
+                A_I2 = _msm(
+                    [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
+                    [B_b] + gens.G(n)[n1:] + gens.H(n)[n1:],
+                )
+                A_O2 = _msm([o_blinding2] + self.a_O[n1:], [B_b] + gens.G(n)[n1:])
+                S2 = _msm(
+                    [s_blinding2] + s_L2 + s_R2,
+                    [B_b] + gens.G(n)[n1:] + gens.H(n)[n1:],
+                )
         else:
             A_I2 = A_O2 = S2 = StarkPoint.identity()
 
@@ -408,9 +443,13 @@ class Prover(RandomizableConstraintSystem):
         G_factors = [1] * n1 + [uv] * (n2 + pad)
         H_factors = [yi * uf % MOD for yi, uf in zip(exp_y_inv, G_factors)]
 
+        ipp_packed = (
+            (gsl(0, padded_n), hsl(0, padded_n)) if use_packed else None
+        )
         ipp_proof = InnerProductProof.create(
             t, Q, G_factors, H_factors,
             gens.G(padded_n), gens.H(padded_n), l_vec, r_vec,
+            packed_gens=ipp_packed,
         )
 
         return R1CSProof(

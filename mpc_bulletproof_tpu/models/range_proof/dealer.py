@@ -159,8 +159,13 @@ class DealerAwaitingProofShares:
         G = [g for j in range(m) for g in self.bp_gens.share(j).G(n)]
         H = [h for j in range(m) for h in self.bp_gens.share(j).H(n)]
 
+        from ...utils import native
+
+        packed = (
+            self.bp_gens.packed_aggregate(n, m) if native.available() else None
+        )
         ipp_proof = InnerProductProof.create(
-            t, Q, G_factors, H_factors, G, H, l_vec, r_vec
+            t, Q, G_factors, H_factors, G, H, l_vec, r_vec, packed_gens=packed
         )
 
         return RangeProof(

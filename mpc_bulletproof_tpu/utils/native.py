@@ -129,6 +129,18 @@ def msm(scalars, points):
     return _unpack_points(ox[None], oy[None], oi)[0]
 
 
+def msm_packed(scalars, xs, ys, inf):
+    """Native MSM over already-packed point arrays (generator caches)."""
+    lib = _lib()
+    s = _pack_scalars(scalars)
+    ox = np.zeros(32, dtype=np.uint8)
+    oy = np.zeros(32, dtype=np.uint8)
+    oi = np.zeros(1, dtype=np.uint8)
+    lib.bp_msm(_buf(s), _buf(xs), _buf(ys), _buf(inf), len(inf),
+               _buf(ox), _buf(oy), _buf(oi))
+    return _unpack_points(ox[None], oy[None], oi)[0]
+
+
 def fold_points(ul, ur, left, right):
     """out_i = ul_i * left_i + ur_i * right_i (per-element scalars)."""
     lib = _lib()
@@ -239,7 +251,8 @@ def _setup_ipp(lib):
     lib._ipp_ready = True
 
 
-def ipp_create(transcript, Q, G_factors, H_factors, G, H, a, b):
+def ipp_create(transcript, Q, G_factors, H_factors, G, H, a, b,
+               packed_gens=None):
     """Full IPP prover in the native core: runs every round (MSMs, keccak
     transcript absorption, challenges, folds) without crossing back into
     Python.  The caller must have absorbed the domain separator already.
@@ -256,8 +269,11 @@ def ipp_create(transcript, Q, G_factors, H_factors, G, H, a, b):
     lg_n = n.bit_length() - 1
 
     state = np.frombuffer(transcript.state, dtype=np.uint8).copy()
-    gxs, gys, ginf = _pack_points(G)
-    hxs, hys, hinf = _pack_points(H)
+    if packed_gens is not None:
+        (gxs, gys, ginf), (hxs, hys, hinf) = packed_gens
+    else:
+        gxs, gys, ginf = _pack_points(G)
+        hxs, hys, hinf = _pack_points(H)
     qx, qy, qi = _pack_points([Q])
     gf = _pack_scalars(G_factors)
     hf = _pack_scalars(H_factors)
