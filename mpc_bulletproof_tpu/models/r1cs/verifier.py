@@ -275,18 +275,44 @@ class Verifier(RandomizableConstraintSystem):
             + [int(v) for v in u_sq]
             + [int(v) for v in u_inv_sq]
         )
-        points = (
+        unique_points = (
             [proof.A_I1, proof.A_O1, proof.S1, proof.A_I2, proof.A_O2, proof.S2]
             + self.V
             + T_points
             + [self.pc_gens.B, self.pc_gens.B_blinding]
-            + gens.G(padded_n)
-            + gens.H(padded_n)
             + proof.ipp_proof.L_vec
             + proof.ipp_proof.R_vec
         )
+        n_uniq = len(unique_points)
+        # reorder: per-proof points first, then the cached G | H slices
+        # (tail may be empty at n == 1: lst[-0:] would be the whole list)
+        tail = 2 * len(proof.ipp_proof.L_vec)
+        scalars = (
+            scalars[: n_uniq - tail]
+            + (scalars[-tail:] if tail else [])
+            + g_scalars
+            + h_scalars
+        )
 
-        mega_check = _msm(scalars, points)
+        from ...utils import native
+
+        if native.available() and not backend.use_device():
+            import numpy as np
+
+            (gx, gy, gi), (hx, hy, hi) = bp_gens.packed_aggregate(
+                bp_gens.gens_capacity, 1
+            )
+            ux, uy, ui = native._pack_points(unique_points)
+            mega_check = native.msm_packed(
+                scalars,
+                np.concatenate([ux, gx[:padded_n], hx[:padded_n]]),
+                np.concatenate([uy, gy[:padded_n], hy[:padded_n]]),
+                np.concatenate([ui, gi[:padded_n], hi[:padded_n]]),
+            )
+        else:
+            mega_check = _msm(
+                scalars, unique_points + gens.G(padded_n) + gens.H(padded_n)
+            )
         if not mega_check.is_identity():
             raise VerificationError("R1CS proof failed the mega-check")
 
