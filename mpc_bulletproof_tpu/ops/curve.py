@@ -257,6 +257,10 @@ class StarkPoint:
         if len(data) != STARK_POINT_BYTES:
             raise ValueError("point encoding must be 32 bytes")
         flags = data[31] & 0xC0
+        if flags == (_INF_FLAG | _NEG_FLAG):
+            # ark-serialize rejects conflicting flags; accepting both would
+            # give the identity two distinct encodings (codec malleability).
+            raise ValueError("conflicting point flags")
         if flags & _INF_FLAG:
             if any(data[:31]) or data[31] & 0x3F:
                 raise ValueError("invalid identity encoding")

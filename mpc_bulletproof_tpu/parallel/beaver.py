@@ -43,6 +43,15 @@ class SharedValueSource(abc.ABC):
     def next_shared_inverse_pair_batch(self, k: int):
         """``k`` pairs ([r], [r^-1])."""
 
+    @abc.abstractmethod
+    def next_input_mask_batch(self, k: int, owner: int):
+        """``k`` SPDZ input tuples for ``owner``: a list of (share, mac_share)
+        pairs for authenticated random values [r], plus — for the owner
+        only — the list of plaintext ``r`` values (``None`` for the other
+        party).  Owner-known masks make input sharing a single broadcast of
+        ``x - r`` with no online mask opening, so a malicious peer cannot
+        shift an honest party's input (SPDZ input phase)."""
+
     # singular conveniences
     def next_triplet(self):
         a, b, c = self.next_triplet_batch(1)
@@ -111,3 +120,9 @@ class PartyIdBeaverSource(SharedValueSource):
         share = Scalar(1) if self.party_id == PARTY0 else Scalar(0)
         pair = self._auth_share(Scalar(1), share)
         return [pair] * k, [pair] * k
+
+    def next_input_mask_batch(self, k: int, owner: int):
+        share = Scalar(1) if self.party_id == PARTY0 else Scalar(0)
+        masks = [self._auth_share(Scalar(1), share)] * k
+        plain = [Scalar(1)] * k if self.party_id == owner else None
+        return masks, plain

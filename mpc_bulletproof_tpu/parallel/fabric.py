@@ -17,16 +17,27 @@ Value model (maliciously-secure opening):
 * addition / public-scalar multiplication are local; public addition adjusts
   party 0's share and both MAC shares;
 * multiplication consumes a Beaver triple and one batched open round;
-* ``open_authenticated*`` opens, then exchanges the MAC-check values
-  ``sigma_i = m_i - alpha_i * x``; a nonzero sum raises
+* ``open_authenticated*`` opens, then runs a **commit-then-reveal** exchange
+  of the MAC-check values ``sigma_i = m_i - alpha_i * x``: each party first
+  sends ``keccak256(sigmas || salt)``, then reveals; a commitment mismatch or
+  a nonzero sigma sum raises
   :class:`~mpc_bulletproof_tpu.utils.errors.AuthenticationError` (the
   malleability tests pin this — reference integration/mpc_prover.rs:336-351).
+  The commitment round is what makes the opening maliciously secure against
+  a *rushing* adversary: without it a party that waits for the honest
+  ``sigma`` can reply with its negation and pass the sum check.
+* input sharing uses SPDZ input tuples (owner-known authenticated masks from
+  pre-processing), so the owner broadcasts ``x - r`` without any online mask
+  opening a malicious peer could shift.
 """
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Iterable, Sequence
+
+from ..ops.keccak import keccak256
 
 from ..constants import SCALAR_BYTES
 from ..ops.curve import StarkPoint
@@ -200,9 +211,11 @@ class MpcFabric:
         """Secret-share ``values`` held by ``owner``; the other party passes
         ``None`` and the expected ``count``.
 
-        Sharing uses authenticated random masks from pre-processing:
-        ``[x] = [r] + (x - r)`` where ``x - r`` is opened to both parties,
-        so the resulting share carries a valid MAC without extra rounds.
+        Sharing uses SPDZ input tuples: the owner holds the plaintext mask
+        ``r`` from pre-processing alongside the authenticated share ``[r]``,
+        computes ``delta = x - r`` locally, and broadcasts it; ``[x] = [r] +
+        delta``.  No mask is opened online, so a malicious peer cannot shift
+        an honest owner's input.
         """
         if self.party_id == owner:
             if values is None:
@@ -213,17 +226,14 @@ class MpcFabric:
                 raise MPCError("non-owner must supply the expected count")
             k = count
 
-        masks = self.beaver.next_shared_value_batch(k)
+        masks, plain = self.beaver.next_input_mask_batch(k, owner)
         mask_vec = AuthenticatedScalarVector(
             self, [s for s, _ in masks], [m for _, m in masks]
         )
-        # Owner computes delta = x - r and publishes it.
         if self.party_id == owner:
-            r_open = self._open_shares_to(owner, mask_vec)
-            deltas = [x - r for x, r in zip(values, r_open)]
+            deltas = [x - r for x, r in zip(values, plain)]
             self.net.send_bytes(_pack_scalars(deltas))
         else:
-            self._open_shares_to(owner, mask_vec)
             deltas = _unpack_scalars(self.net.recv_bytes())
         return mask_vec.add_public(deltas)
 
@@ -270,36 +280,23 @@ class MpcFabric:
     def share_point(self, point: StarkPoint | None, owner: int) -> "AuthenticatedPoint":
         """Secret-share a curve point held by ``owner``.
 
-        The owner splits ``P = P_mask + (P - P_mask)`` with a random mask
-        point and sends the mask share; MACs ride an authenticated scalar
-        decomposition is unnecessary — the point MAC is built from an
-        authenticated random scalar pair ``(r, alpha r)`` times the
-        generator plus a public correction.
+        Same SPDZ input-tuple shape as :meth:`batch_share_scalars` lifted to
+        the group: the owner knows the plaintext scalar mask ``r``, forms the
+        mask point ``r * G`` locally, and broadcasts ``delta = P - r*G``; the
+        authenticated mask point is ``([r] * G, [alpha r] * G)``.
         """
         gen = StarkPoint.generator()
-        mask = self.random_shared_scalars_authenticated(1)
-        mask_pt = AuthenticatedPoint(
-            self,
-            mask.shares[0] * gen,
-            mask.macs[0] * gen,
-        )
+        masks, plain = self.beaver.next_input_mask_batch(1, owner)
+        (mask_share, mask_mac) = masks[0]
+        mask_pt = AuthenticatedPoint(self, mask_share * gen, mask_mac * gen)
         if self.party_id == owner:
             if point is None:
                 raise MPCError("owner must supply the point")
-            r_open = self._open_point_to(owner, mask_pt)
-            delta = point + (-r_open)
+            delta = point + (-(plain[0] * gen))
             self.net.send_bytes(_pack_points([delta]))
         else:
-            self._open_point_to(owner, mask_pt)
             delta = _unpack_points(self.net.recv_bytes())[0]
         return mask_pt.add_public(delta)
-
-    def _open_point_to(self, owner: int, pt: "AuthenticatedPoint"):
-        if self.party_id == owner:
-            theirs = _unpack_points(self.net.recv_bytes())[0]
-            return pt.share + theirs
-        self.net.send_bytes(_pack_points([pt.share]))
-        return None
 
     # -- raw exchange -------------------------------------------------------
 
@@ -317,24 +314,32 @@ class MpcFabric:
 
     # -- opening ------------------------------------------------------------
 
-    def _open_shares_to(self, owner: int, vec: AuthenticatedScalarVector) -> list[Scalar] | None:
-        """Reveal a shared vector to ``owner`` only (one-directional)."""
-        if self.party_id == owner:
-            theirs = _unpack_scalars(self.net.recv_bytes())
-            return [a + b for a, b in zip(vec.shares, theirs)]
-        self.net.send_bytes(_pack_scalars(vec.shares))
-        return None
-
     def open_batch(self, vec: AuthenticatedScalarVector) -> list[Scalar]:
         theirs = self.exchange_scalars(vec.shares)
         return [a + b for a, b in zip(vec.shares, theirs)]
+
+    def _committed_exchange(self, payload: bytes) -> bytes:
+        """Commit-then-reveal exchange of ``payload``.
+
+        Both parties first exchange ``keccak256(payload || salt)`` and only
+        then the payloads; a peer cannot choose its message after seeing
+        ours (no rushing).  Raises on commitment mismatch.
+        """
+        salt = os.urandom(32)
+        their_commit = self.net.exchange_bytes(keccak256(payload + salt))
+        their_blob = self.net.exchange_bytes(payload + salt)
+        if len(their_blob) < 32 or keccak256(their_blob) != their_commit:
+            raise AuthenticationError("commitment mismatch in MAC-check reveal")
+        return their_blob[:-32]
 
     def open_authenticated_batch(self, vec: AuthenticatedScalarVector) -> list[Scalar]:
         opened = self.open_batch(vec)
         sigmas = [
             m - self.mac_key_share * v for m, v in zip(vec.macs, opened)
         ]
-        their_sigmas = self.exchange_scalars(sigmas)
+        their_sigmas = _unpack_scalars(self._committed_exchange(_pack_scalars(sigmas)))
+        if len(their_sigmas) != len(sigmas):
+            raise AuthenticationError("MAC check reveal length mismatch")
         for mine, theirs in zip(sigmas, their_sigmas):
             if not (mine + theirs).is_zero():
                 raise AuthenticationError("MAC check failed on opening")
@@ -347,7 +352,9 @@ class MpcFabric:
     def open_authenticated_points(self, pts: Sequence[AuthenticatedPoint]) -> list[StarkPoint]:
         opened = self.open_points(pts)
         sigmas = [p.mac - self.mac_key_share * v for p, v in zip(pts, opened)]
-        their_sigmas = self.exchange_points(sigmas)
+        their_sigmas = _unpack_points(self._committed_exchange(_pack_points(sigmas)))
+        if len(their_sigmas) != len(sigmas):
+            raise AuthenticationError("MAC check reveal length mismatch")
         for mine, theirs in zip(sigmas, their_sigmas):
             if not (mine + theirs).is_identity():
                 raise AuthenticationError("MAC check failed on point opening")

@@ -2,15 +2,18 @@
 
 Pins the entire byte-level stack — transcript chain, challenge derivation,
 point compression, proof codecs — across refactors ("bit-identical proofs"
-north star, BASELINE.md).  On first run the vectors are generated and
-committed; any change that breaks verification of the stored bytes is a
-proof-format break.
+north star, BASELINE.md).  The vectors are committed in tests/golden/; a
+missing golden file is a test FAILURE (a lost golden must never silently
+re-pin the format).  Regeneration is explicit: run with BP_GOLDEN_REGEN=1.
+Any change that breaks verification of the stored bytes is a proof-format
+break.
 
 Also fuzzes the codecs: mutated proof bytes must raise FormatError or
 VerificationError, never crash or verify.
 """
 
 import json
+import os
 import pathlib
 import random
 
@@ -41,9 +44,17 @@ def rand_scalar():
     return Scalar(rng.getrandbits(260))
 
 
+_REGEN = os.environ.get("BP_GOLDEN_REGEN") == "1"
+
+
 def _load():
     if GOLDEN.exists():
         return json.loads(GOLDEN.read_text())
+    if not _REGEN:
+        pytest.fail(
+            f"golden file {GOLDEN} is missing; refusing to silently re-pin "
+            "the proof format (set BP_GOLDEN_REGEN=1 to regenerate)"
+        )
     return {}
 
 
@@ -52,9 +63,18 @@ def _store(data):
     GOLDEN.write_text(json.dumps(data, indent=1, sort_keys=True))
 
 
+def _require(golden, key):
+    if key not in golden and not _REGEN:
+        pytest.fail(
+            f"golden entry {key!r} missing from {GOLDEN}; set BP_GOLDEN_REGEN=1 "
+            "to regenerate explicitly"
+        )
+    return key not in golden
+
+
 def test_golden_range_proof():
     golden = _load()
-    if "range_proof" not in golden:
+    if _require(golden, "range_proof"):
         t = HashChainTranscript(b"golden-rp")
         proof, V = RangeProof.prove_single(BP, PC, t, 1037578891, Scalar(0xB11D), 32)
         golden["range_proof"] = {
@@ -80,7 +100,7 @@ def _example_circuit(cs, vars_):
 
 def test_golden_r1cs_proof():
     golden = _load()
-    if "r1cs" not in golden:
+    if _require(golden, "r1cs"):
         t = HashChainTranscript(b"golden-r1cs")
         prover = Prover(PC, t)
         pairs = [

@@ -144,7 +144,43 @@ def test_mac_check_fails_on_tampered_share():
     assert run_two_parties(party0, party1) == [True, True]
 
 
-def test_shared_point_msm_and_open():
+def test_rushing_adversary_cannot_forge_mac_check():
+    """A malicious party that malleates its share, then *waits* for the
+    honest sigma and replies with its negation, must still fail the open:
+    the commit-then-reveal round binds its sigma before the honest value is
+    revealed (ADVICE round 1 / SPDZ commit-reveal requirement)."""
+    from mpc_bulletproof_tpu.ops.keccak import keccak256
+    from mpc_bulletproof_tpu.parallel.fabric import _pack_scalars, _unpack_scalars
+
+    def honest(fabric):
+        shared = fabric.batch_share_scalars([Scalar(42)], owner=0)
+        with pytest.raises(AuthenticationError):
+            shared.open_authenticated()
+        return True
+
+    def rushing(fabric):
+        shared = fabric.batch_share_scalars(None, owner=0, count=1)
+        # Malleate, then speak the open protocol raw, rushing every round.
+        tampered = shared.shares[0] + Scalar(1)
+        net = fabric.net
+        # open_batch share exchange (send the tampered share).
+        net.send_bytes(_pack_scalars([tampered]))
+        opened = tampered + _unpack_scalars(net.recv_bytes())[0]
+        # Commitment round: commit to garbage before seeing the honest sigma
+        # (the hash hides it, so there is nothing useful to adapt to).
+        salt = b"\xAA" * 32
+        garbage = _pack_scalars([Scalar(0)])
+        _honest_commit = net.recv_bytes()
+        net.send_bytes(keccak256(garbage + salt))
+        # Reveal round: now we see the honest sigma and reply with its
+        # negation — exactly the forgery that passes a commitment-free check.
+        honest_blob = net.recv_bytes()
+        honest_sigma = _unpack_scalars(honest_blob[:-32])[0]
+        net.send_bytes(_pack_scalars([-honest_sigma]) + salt)
+        return opened
+
+    results = run_two_parties(honest, rushing)
+    assert results[0] is True
     g = StarkPoint.generator()
     pts = [g.scalar_mul(Scalar(i + 2)) for i in range(3)]
     scalars = [Scalar(5), Scalar(7), Scalar(9)]

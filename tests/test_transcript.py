@@ -67,12 +67,17 @@ def test_golden_vectors_stability():
     t.innerproduct_domain_sep(64)
     t.append_scalar(b"s", Scalar(1234567))
     c = t.challenge_scalar(b"u")
-    import json, pathlib
+    import json, os, pathlib
 
     golden_path = pathlib.Path(__file__).parent / "golden" / "transcript.json"
     if golden_path.exists():
         golden = json.loads(golden_path.read_text())
         assert hex(c.value) == golden["ipp_challenge"]
-    else:
+    elif os.environ.get("BP_GOLDEN_REGEN") == "1":
         golden_path.parent.mkdir(exist_ok=True)
         golden_path.write_text(json.dumps({"ipp_challenge": hex(c.value)}, indent=1))
+    else:
+        pytest.fail(
+            f"golden file {golden_path} is missing; refusing to silently "
+            "re-pin the transcript format (set BP_GOLDEN_REGEN=1 to regenerate)"
+        )
