@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import curve_jax, limb
-from .limb import FP, FR, NL, ModParams
+from .limb import FP, FR, NL, NLZ, ModParams
 
 # Lane tile: full vector-register width.
 _TILE = 256
@@ -80,39 +80,55 @@ def _kernel_mp(m_ref, m21_ref, mu_ref, modulus: int) -> ModParams:
 
 
 # ---------------------------------------------------------------------------
-# point kernels
+# point kernels (lazy arithmetic — see curve_jax / limb "Lazy arithmetic")
 # ---------------------------------------------------------------------------
 
-_B3_LIMBS = limb.int_to_limbs_np(curve_jax._B3, NL)
+_B3_LIMBS = limb.int_to_limbs_np(curve_jax._B3, NLZ)
 
 
 def _curve_operands(t: int):
-    return (*_mp_operands(FP, t), jnp.broadcast_to(jnp.asarray(_B3_LIMBS), (NL, t)))
-
-
-def _curve_specs(t: int):
-    cs = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    return _mp_specs(t) + [cs((NL, t))]
-
-
-def _kernel_curve_ctx(m_ref, m21_ref, mu_ref, b3_ref):
-    return types.SimpleNamespace(
-        mp=_kernel_mp(m_ref, m21_ref, mu_ref, 0), b3=b3_ref[...]
+    bc = lambda a, rows: jnp.broadcast_to(jnp.asarray(a), (rows, t))
+    return (
+        bc(FP.m, NL),
+        bc(FP.mu, NL + 1),
+        bc(FP.d21, NLZ),
+        bc(_B3_LIMBS, NLZ),
+        bc(FP.k8, NLZ),
+        bc(FP.k16, NLZ),
+        bc(FP.k32, NLZ),
     )
 
 
-def _padd_kernel(m_ref, m21_ref, mu_ref, b3_ref, a_ref, b_ref, o_ref):
-    ctx = _kernel_curve_ctx(m_ref, m21_ref, mu_ref, b3_ref)
+def _curve_specs(t: int):
+    cs = lambda rows: pl.BlockSpec((rows, t), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return [cs(NL), cs(NL + 1), cs(NLZ), cs(NLZ), cs(NLZ), cs(NLZ), cs(NLZ)]
+
+
+def _kernel_curve_ctx(m_ref, mu_ref, d21_ref, b3_ref, k8_ref, k16_ref, k32_ref):
+    return types.SimpleNamespace(
+        m=m_ref[...],
+        mu=mu_ref[...],
+        d21=d21_ref[...],
+        b3=b3_ref[...],
+        k8=k8_ref[...],
+        k16=k16_ref[...],
+        k32=k32_ref[...],
+    )
+
+
+def _padd_kernel(m_ref, mu_ref, d21_ref, b3_ref, k8_ref, k16_ref, k32_ref,
+                 a_ref, b_ref, o_ref):
+    ctx = _kernel_curve_ctx(m_ref, mu_ref, d21_ref, b3_ref, k8_ref, k16_ref, k32_ref)
     o_ref[...] = curve_jax._point_add(a_ref[...], b_ref[...], ctx)
 
 
 @jax.jit
 def point_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Complete point addition over ``(3, NL, n)`` batches (RCB16)."""
+    """Complete point addition over ``(3, NLZ, n)`` lazy batches (RCB16)."""
     a, n = _pad_lanes(a, _TILE)
     b, _ = _pad_lanes(b, _TILE)
     t = min(_TILE, a.shape[-1])
-    pts_spec = pl.BlockSpec((3, NL, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    pts_spec = pl.BlockSpec((3, NLZ, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _padd_kernel,
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),

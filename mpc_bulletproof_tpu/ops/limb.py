@@ -54,6 +54,7 @@ BASE = 1 << BASE_BITS
 MASK = BASE - 1
 NL = 20  # limbs per field element: 20 * 13 = 260 bits >= 252
 WIDE = 2 * NL  # limbs in an unreduced product
+NLZ = NL + 1  # limbs of a *lazy* (redundant) element — see "Lazy arithmetic"
 
 
 # ---------------------------------------------------------------------------
@@ -97,6 +98,14 @@ class ModParams:
         self.m = int_to_limbs_np(modulus, NL)  # (NL, 1)
         self.m21 = int_to_limbs_np(modulus, NL + 1)
         self.mu = int_to_limbs_np((1 << (BASE_BITS * 2 * NL)) // modulus, NL + 1)
+        # Lazy-arithmetic constants (see "Lazy arithmetic" below):
+        # d21 = m * floor(beta^NLZ / m) — the multiple of m subtracted to
+        # undo a beta^NLZ wrap; k16/k32 = slack constants for lazy_sub.
+        beta_nlz = 1 << (BASE_BITS * NLZ)
+        self.d21 = int_to_limbs_np(modulus * (beta_nlz // modulus), NLZ)
+        self.k8 = int_to_limbs_np(8 * modulus, NLZ)
+        self.k16 = int_to_limbs_np(16 * modulus, NLZ)
+        self.k32 = int_to_limbs_np(32 * modulus, NLZ)
 
     def __repr__(self):
         return f"ModParams(0x{self.modulus:x})"
@@ -424,6 +433,127 @@ def _powers(x: jnp.ndarray, n: int, mp: ModParams) -> jnp.ndarray:
         x_pow = _mod_mul(x_pow, x_pow, mp)
         cur_len *= 2
     return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Lazy (redundant) arithmetic — the point-layer fast path
+# ---------------------------------------------------------------------------
+#
+# The exact ops above resolve carries to canonical [0, BASE) limbs with a
+# Kogge-Stone prefix and land values in [0, m) with conditional subtractions.
+# Both are pure overhead inside a point-addition chain: the group law never
+# inspects a coordinate, so intermediate values only need (a) limbs small
+# enough for the next int32 convolution and (b) values small enough for the
+# Barrett precondition.  The lazy layer exploits that:
+#
+# * **SN (semi-normalized) limbs**: int32 in [-1, BASE] (note: signed, and
+#   BASE itself allowed).  Restored after any op by 1-3 *sweeps* only —
+#   no exact carry resolution anywhere.  A sweep is signed-safe: ``>>`` is an
+#   arithmetic shift (floor division) and ``& MASK`` a nonnegative remainder,
+#   so borrows propagate as negative carries.
+# * **Lazy values**: elements are NLZ=21-limb tensors with *value* in
+#   [0, 16m) (m = modulus ~2^251.8; 16m ~ 2^255.8 << beta^21).  ``lazy_mul``
+#   outputs < 6m; ``lazy_add`` adds bounds; ``lazy_sub(a, b, k)`` computes
+#   ``a + (k*m - b)`` for a static slack constant k*m >= bound(b).  Callers
+#   track value bounds statically (see curve_jax._point_add_lazy) such that
+#   every multiplication input stays < ~40m, keeping the wide product
+#   < (40m)^2 ~ 2^514 < beta^40 — the Barrett precondition.
+#
+# Lazy Barrett (on a 41-limb SN wide value x < beta^40):
+#   q1 = x[NL-1:]            (22 limbs; slice of SN limbs == floor division
+#                             up to +-2, absorbed by the error analysis)
+#   q2 = q1 * mu             (42 limbs, 3 sweeps)
+#   q_hat = q2[NL+1:]        (21 limbs; q_hat in [q-3, q+1])
+#   r = x - q_hat*m + m      (full-width, hence *nonnegative*: in (0, 6m))
+# The only subtlety is truncating r's 41 SN limbs to 21: limbs >= NLZ encode
+# hi in {-1, 0} (as a number), and hi == -1  iff  r[NLZ] = -1 (mod BASE) —
+# a single limb test.  When hi == -1 the kept low part equals r + beta^NLZ,
+# so subtract d21 = m*floor(beta^NLZ/m): the result is < 6m and congruent.
+#
+# Exactness is restored only at protocol boundaries (host conversion reduces
+# mod m anyway; on-device canonicalization uses lazy_to_canonical).
+
+
+def _sn_sweeps(x: jnp.ndarray, out_len: int, sweeps: int) -> jnp.ndarray:
+    """Sweeps-only normalization to SN limbs in [-1, BASE].
+
+    Unlike :func:`_sweep`, the **top limb is left unsplit** (its would-be
+    carry is folded back), so no carry — in particular no negative borrow —
+    is ever dropped and the represented value is exactly preserved for any
+    ``out_len`` covering it.  The top limb may exceed BASE by the carry it
+    reabsorbed; all lazy values here are << beta^out_len so it stays within
+    a few units of [-1, BASE].  3 sweeps suffice for any int32 limbs; 1
+    sweep when limbs are within ~2^17 of SN (sums/differences).
+    """
+    y = x
+    if y.shape[0] < out_len:
+        y = jnp.pad(y, [(0, out_len - y.shape[0])] + [(0, 0)] * (y.ndim - 1))
+    elif y.shape[0] > out_len:
+        raise ValueError("lazy sweeps cannot truncate")
+    for _ in range(sweeps):
+        r = y & MASK
+        c = y >> BASE_BITS
+        swept = r + _shift_down(c, 1)
+        top = swept[out_len - 1] + c[out_len - 1] * BASE
+        y = jnp.concatenate([swept[: out_len - 1], top[None]], axis=0)
+    return y
+
+
+def _lazy_barrett(x: jnp.ndarray, ctx) -> jnp.ndarray:
+    """Reduce a 41-limb SN value ``x < beta^(2 NL)`` to 21 SN limbs < 6m.
+
+    ``ctx`` carries limb tensors ``m`` (NL), ``mu`` (NL+1), ``d21`` (NLZ),
+    broadcastable against the batch.
+    """
+    q1 = x[NL - 1 :]
+    q2 = _sn_sweeps(conv_full(q1, ctx.mu), q1.shape[0] + NL, 3)
+    q_hat = q2[NL + 1 :]
+    d = conv_full(q_hat, ctx.m)  # unnormalized, columns <= NL terms
+    if d.shape[0] < x.shape[0]:
+        d = jnp.pad(d, [(0, x.shape[0] - d.shape[0])] + [(0, 0)] * (d.ndim - 1))
+    m_pad = jnp.pad(ctx.m, [(0, x.shape[0] - ctx.m.shape[0])] + [(0, 0)] * (ctx.m.ndim - 1))
+    r = _sn_sweeps(x - d + m_pad, x.shape[0], 3)
+    wrap = (r[NLZ] & MASK) == MASK  # hi part == -1 as a number
+    r_low = r[:NLZ] - jnp.where(wrap[None], ctx.d21, 0)
+    return _sn_sweeps(r_low, NLZ, 1)
+
+
+def lazy_mul(a: jnp.ndarray, b: jnp.ndarray, ctx) -> jnp.ndarray:
+    """(a * b) mod-lazy: NLZ-limb SN inputs (values < ~40m), output < 6m."""
+    a, b = _broadcast_batch(a, b)
+    wide = _sn_sweeps(conv_full(a, b), 2 * NLZ - 1, 3)
+    return _lazy_barrett(wide, ctx)
+
+
+def lazy_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a + b on SN limbs; value bound is the sum of the operand bounds."""
+    return _sn_sweeps(a + b, NLZ, 1)
+
+
+def lazy_sub(a: jnp.ndarray, b: jnp.ndarray, slack: jnp.ndarray) -> jnp.ndarray:
+    """a - b + slack, for a static slack constant (a multiple of m exceeding
+    bound(b), keeping the value nonnegative)."""
+    return _sn_sweeps(a + (slack - b), NLZ, 1)
+
+
+def lazy_from_canonical(x: jnp.ndarray) -> jnp.ndarray:
+    """(NL, ...) canonical limbs -> (NLZ, ...) lazy (pad a zero top limb)."""
+    return jnp.pad(x, [(0, NLZ - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+
+def _lazy_to_canonical(x: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
+    """(NLZ, ...) lazy SN value < 16m -> canonical (NL, ...) in [0, m).
+
+    Boundary-only path (exact): full Barrett + Kogge-Stone + two
+    conditional subtractions.
+    """
+    wide = jnp.pad(x, [(0, WIDE - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+    # KS needs limbs in (-BASE, 2*BASE-1): SN limbs [-1, BASE] qualify.
+    exact = _ks_resolve(_sweep(wide, WIDE))
+    return _barrett_reduce(exact, mp)
+
+
+lazy_to_canonical = functools.partial(jax.jit, static_argnums=(1,))(_lazy_to_canonical)
 
 
 # ---------------------------------------------------------------------------

@@ -7,9 +7,13 @@ src/inner_product_proof.rs:90-114).
 
 Design (TPU-first, branchless):
 
-1. **Digits**: scalars are decomposed into ``ceil(252/c)`` windows of ``c``
-   bits.  With ``c = 13`` a scalar's limbs *are* its digits (see
-   :mod:`.limb`).
+1. **Signed digits**: scalars are decomposed into ``ceil(252/c)`` windows
+   of ``c`` bits, then digits >= 2^(c-1) borrow from the next window,
+   leaving digits in ``[-2^(c-1), 2^(c-1)]``.  Negation of a point is one
+   field negation, so a signed digit just flips the gathered point — and
+   the bucket count per window halves, which both shrinks the bucket
+   reduction term and lets a larger ``c`` (fewer windows) win.  The top
+   window stays unsigned (scalars < 2^252 leave it < 2^12 + 1 at c=16).
 2. **Bucket accumulation without scatter**: points are sorted by digit per
    window (one batched XLA sort), then an *unsegmented* inclusive prefix
    scan of points is taken.  Because group elements have cheap inverses,
@@ -52,9 +56,18 @@ def _next_pow2(n: int) -> int:
 
 
 def select_window(n: int) -> int:
-    """Pick the Pippenger window size minimizing ~windows*(2n + 2^c)."""
-    best_c, best_cost = 4, None
-    for c in range(4, 14):
+    """Pick the signed-digit window size minimizing ~windows*(2n + 2^c).
+
+    (With signed digits the per-window bucket term is 2*2^(c-1) = 2^c:
+    2^(c-1) gathers for the suffix sums plus the same again in the
+    reduction tree.)
+    """
+    best_c, best_cost = 5, None
+    for c in range(5, 17):
+        if FIELD_BITS % c > c - 2:
+            # top window must stay within the signed bucket range [0, 2^(c-1)]
+            # (FIELD_BITS % c == 0 or c-1 would let it reach ~2^c)
+            continue
         windows = -(-FIELD_BITS // c)
         cost = windows * (2 * n + (1 << c))
         if best_cost is None or cost < best_cost:
@@ -75,6 +88,29 @@ def _digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
         bits = jnp.pad(bits, [(0, pad), (0, 0)])
     weights = jnp.asarray([1 << j for j in range(c)], dtype=jnp.int32)[None, :, None]
     return jnp.sum(bits.reshape(nw, c, n) * weights, axis=1)
+
+
+def _signed_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """``(NL, n)`` limbs -> ``(nw, n)`` signed digits in [-2^(c-1), 2^(c-1)].
+
+    Window i borrows 2^c from window i+1 when its digit is > 2^(c-1); the
+    carry chain is ``nw`` sequential vector steps.  The top window absorbs
+    the final carry unsigned (bounded by 2^(FIELD_BITS - (nw-1)*c) + 1).
+    """
+    if FIELD_BITS % c > c - 2:
+        raise ValueError(f"window c={c}: top window would overflow signed buckets")
+    raw = _digits(scalars, c)
+    half = 1 << (c - 1)
+    full = 1 << c
+    rows = []
+    carry = jnp.zeros(raw.shape[-1], dtype=raw.dtype)
+    for i in range(raw.shape[0] - 1):
+        d = raw[i] + carry
+        hi = d > half
+        rows.append(jnp.where(hi, d - full, d))
+        carry = hi.astype(raw.dtype)
+    rows.append(raw[-1] + carry)
+    return jnp.stack(rows, axis=0)
 
 
 def _inclusive_scan(pts: jnp.ndarray) -> jnp.ndarray:
@@ -111,15 +147,18 @@ def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = 
         scalars = jnp.pad(scalars, [(0, 0), (0, npad - n)])
         points = jnp.concatenate([points, cj.identity((npad - n,))], axis=-1)
         n = npad
-    B = 1 << c
+    B = (1 << (c - 1)) + 1  # signed buckets: |digit| in [0, 2^(c-1)]
 
-    digits = _digits(scalars, c)  # (nw, n)
-    order = jnp.argsort(digits, axis=-1)  # (nw, n)
-    d_sorted = jnp.take_along_axis(digits, order, axis=-1)
+    digits = _signed_digits(scalars, c)  # (nw, n) in [-2^(c-1), 2^(c-1)]
+    keys = jnp.abs(digits)
+    order = jnp.argsort(keys, axis=-1)  # (nw, n)
+    d_sorted = jnp.take_along_axis(keys, order, axis=-1)
+    neg_sorted = jnp.take_along_axis(digits < 0, order, axis=-1)
 
     def window_body(_, inputs):
-        order_w, d_w = inputs
+        order_w, d_w, neg_w = inputs
         pts = points[:, :, order_w]
+        pts = cj._point_select(neg_w, kernels.point_neg(pts), pts)
         cumsum = _inclusive_scan(pts)
         total = cumsum[..., -1:]
         # cum_{j-1} for j = 1..B-1: last prefix position with digit <= j-1
@@ -134,7 +173,7 @@ def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = 
         win = _reduce_sum(s_vals)[..., 0]
         return None, win
 
-    _, window_sums = jax.lax.scan(window_body, None, (order, d_sorted))
+    _, window_sums = jax.lax.scan(window_body, None, (order, d_sorted, neg_sorted))
 
     # Horner over windows, most-significant first.
     def horner_body(acc, w_sum):

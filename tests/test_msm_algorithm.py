@@ -23,24 +23,43 @@ from mpc_bulletproof_tpu.ops.msm import FIELD_BITS, select_window
 rng = random.Random(555)
 
 
+def signed_digits_host(k: int, c: int, nw: int) -> list[int]:
+    """Mirror of ops/msm.py:_signed_digits for one scalar."""
+    half, full = 1 << (c - 1), 1 << c
+    raw = [(k >> (w * c)) & (full - 1) for w in range(nw)]
+    out, carry = [], 0
+    for i in range(nw - 1):
+        d = raw[i] + carry
+        if d > half:
+            out.append(d - full)
+            carry = 1
+        else:
+            out.append(d)
+            carry = 0
+    out.append(raw[-1] + carry)
+    return out
+
+
 def msm_algorithm_host(scalars, points, c):
     """Mirror of ops/msm.py:_msm_device_impl with host arithmetic."""
     n = len(scalars)
     npad = 1
     while npad < n:
         npad *= 2
-    ks = [int(s) for s in scalars] + [0] * (npad - n)
+    ks = [int(s) % (1 << FIELD_BITS) for s in scalars] + [0] * (npad - n)
     pts = list(points) + [StarkPoint.identity()] * (npad - n)
     n = npad
-    B = 1 << c
+    B = (1 << (c - 1)) + 1
     nw = -(-FIELD_BITS // c)
+    all_digits = [signed_digits_host(k, c, nw) for k in ks]
 
     window_sums = []
     for w in range(nw):
-        digits = [(k >> (w * c)) & (B - 1) for k in ks]
+        signed = [all_digits[i][w] for i in range(n)]
+        digits = [abs(d) for d in signed]
         order = sorted(range(n), key=lambda i: digits[i])
         d_sorted = [digits[i] for i in order]
-        p_sorted = [pts[i] for i in order]
+        p_sorted = [(-pts[i] if signed[i] < 0 else pts[i]) for i in order]
         # inclusive prefix scan
         cumsum = []
         acc = StarkPoint.identity()
@@ -66,7 +85,7 @@ def msm_algorithm_host(scalars, points, c):
     return result
 
 
-@pytest.mark.parametrize("n,c", [(1, 4), (3, 4), (8, 5), (16, 4), (16, 13), (33, 6)])
+@pytest.mark.parametrize("n,c", [(1, 5), (3, 5), (8, 5), (16, 8), (16, 13), (33, 16)])
 def test_msm_algorithm_matches_naive(n, c):
     g = StarkPoint.generator()
     pts = [g.scalar_mul(Scalar(rng.getrandbits(260))) for _ in range(n)]
@@ -79,12 +98,16 @@ def test_msm_algorithm_edge_cases():
     # zero scalars, identity points, duplicate digits
     pts = [g, g.double(), StarkPoint.identity(), g, -g]
     scalars = [Scalar(0), Scalar(1), Scalar(12345), Scalar(1), Scalar((1 << 252) - 1)]
-    assert msm_algorithm_host(scalars, pts, 4) == StarkPoint.msm(scalars, pts)
+    assert msm_algorithm_host(scalars, pts, 5) == StarkPoint.msm(scalars, pts)
     # all-equal digits (worst case for bucket collision handling)
     pts = [g.scalar_mul(Scalar(i + 1)) for i in range(8)]
     scalars = [Scalar(7)] * 8
-    assert msm_algorithm_host(scalars, pts, 4) == StarkPoint.msm(scalars, pts)
+    assert msm_algorithm_host(scalars, pts, 5) == StarkPoint.msm(scalars, pts)
+    # digits at the signed boundary +-2^(c-1)
+    scalars = [Scalar(16), Scalar(48), Scalar(16 + (16 << 5)), Scalar(1 << 250), Scalar(31)]
+    pts = [g.scalar_mul(Scalar(i + 3)) for i in range(5)]
+    assert msm_algorithm_host(scalars, pts, 5) == StarkPoint.msm(scalars, pts)
 
 
 def test_select_window_monotone():
-    assert 4 <= select_window(16) <= select_window(1 << 20) <= 13
+    assert 5 <= select_window(16) <= select_window(1 << 20) <= 16
