@@ -67,7 +67,7 @@ class InnerProductProof:
         transcript.innerproduct_domain_sep(n)
 
         if backend.use_device() and n >= 32:
-            return _create_device(
+            return _create_device_fused(
                 transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec
             )
         return _create_host(
@@ -516,3 +516,167 @@ def _create_device(transcript, Q, G_factors, H_factors, G, H, a, b):
     a_fin = cj.scalars_to_host(a_d)[0]
     b_fin = cj.scalars_to_host(b_d)[0]
     return InnerProductProof(L_vec, R_vec, a_fin, b_fin)
+
+
+# ---------------------------------------------------------------------------
+# fused device prover: the whole log-round protocol as ONE compiled program
+# ---------------------------------------------------------------------------
+
+_FUSED_IPP_CACHE: dict = {}
+
+
+def _fused_ipp_fn(n: int):
+    """Build (and cache per size) the jitted fused IPP prover.
+
+    The entire protocol — per-round cross inner products, coefficient
+    updates, the two (n+1)-point MSMs, projective->affine conversion,
+    keccak transcript absorbs, challenge squeezing, the modular inverse of
+    the challenge, and the witness folds — runs as a single
+    ``lax.scan`` over the log(n) rounds inside one XLA program.  Zero host
+    round trips: dispatch latency is paid once per *proof*, not twice per
+    *round* (the round-1 design's per-round host transcript cost
+    2 * lg(n) tunnel round trips — SURVEY.md §7.3's "sequential
+    Fiat-Shamir" problem, solved by moving the hash chain on-device,
+    :mod:`...ops.transcript_jax`).
+
+    Rounds have shrinking live widths; the scan keeps static shapes by
+    zero-padding the witness vectors to n and slicing the live halves with
+    ``lax.dynamic_slice`` (padding lanes contribute zero to inner products
+    and fold to zero).  The per-generator coefficient vectors stay full
+    width in every round (coefficient tracking — see ``_create_host``).
+    """
+    fn = _FUSED_IPP_CACHE.get(n)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..constants import R as R_MOD
+    from ..ops import limb
+    from ..ops import msm as msm_mod
+    from ..ops import transcript_jax as tj
+
+    NLc = limb.NL
+    c = msm_mod.select_window(n + 1)
+    nh = n // 2
+
+    idxL_all, idxR_all = [], []
+    cur = n
+    while cur > 1:
+        iL, iR = _ipp_round_indices(n, cur)
+        idxL_all.append(iL.astype(np.int32))
+        idxR_all.append(iR.astype(np.int32))
+        cur //= 2
+    idxL_rounds = np.stack(idxL_all)
+    idxR_rounds = np.stack(idxR_all)
+
+    def run(state32, a_d, b_d, wG, wH, pts_d):
+        def body(carry, xs):
+            state, a_d, b_d, wG, wH, cur = carry
+            idxL, idxR = xs
+            half = cur // 2
+            live = jnp.arange(nh, dtype=jnp.int32) < half
+            a_L = jnp.where(live[None], a_d[:, :nh], 0)
+            b_L = jnp.where(live[None], b_d[:, :nh], 0)
+            # entries >= cur are zero, so the slices carry zeros past `half`
+            a_R = jax.lax.dynamic_slice(a_d, (0, half), (NLc, nh))
+            b_R = jax.lax.dynamic_slice(b_d, (0, half), (NLc, nh))
+            c_L = limb._inner_product_mod(a_L, b_R, limb.FR)[:, None]
+            c_R = limb._inner_product_mod(a_R, b_L, limb.FR)[:, None]
+
+            r = jnp.arange(n, dtype=jnp.int32) % cur
+            hi = r >= half
+            cls = jnp.where(hi, r - half, r)  # class index within the halves
+            aL_of = jnp.take_along_axis(a_L, jnp.broadcast_to(jnp.where(hi, cls, 0)[None], (NLc, n)), axis=1)
+            bR_of = jnp.take_along_axis(b_R, jnp.broadcast_to(jnp.where(hi, 0, cls)[None], (NLc, n)), axis=1)
+            aR_of = jnp.take_along_axis(a_R, jnp.broadcast_to(jnp.where(hi, 0, cls)[None], (NLc, n)), axis=1)
+            bL_of = jnp.take_along_axis(b_L, jnp.broadcast_to(jnp.where(hi, cls, 0)[None], (NLc, n)), axis=1)
+            w_hiG = jnp.where(hi[None], wG, wH)
+            w_hiH = jnp.where(hi[None], wH, wG)
+            sL = limb._mod_mul(w_hiG, jnp.where(hi[None], aL_of, bR_of), limb.FR)
+            sR = limb._mod_mul(w_hiH, jnp.where(hi[None], bL_of, aR_of), limb.FR)
+            sL = jnp.concatenate([sL, c_L], axis=-1)
+            sR = jnp.concatenate([sR, c_R], axis=-1)
+
+            L = msm_mod._msm_device_impl(sL, pts_d[:, :, idxL], c)
+            Rp = msm_mod._msm_device_impl(sR, pts_d[:, :, idxR], c)
+
+            x, y, iid = tj.lazy_points_to_affine(jnp.stack([L, Rp], axis=-1))
+            enc = tj.points_transcript_bytes(x, y, iid)  # (64, 2)
+            state = tj.absorb(state, b"L", enc[:, 0], 64)
+            state = tj.absorb(state, b"R", enc[:, 1], 64)
+            state, u = tj.challenge_scalar(state, b"u")
+            u_inv = limb._mod_pow(u, R_MOD - 2, limb.FR)
+
+            ub = jnp.broadcast_to(u, (NLc, n))
+            uib = jnp.broadcast_to(u_inv, (NLc, n))
+            wG = limb._mod_mul(wG, jnp.where(hi[None], ub, uib), limb.FR)
+            wH = limb._mod_mul(wH, jnp.where(hi[None], uib, ub), limb.FR)
+
+            a_next = limb._mod_add(
+                limb._mod_mul(a_L, u, limb.FR), limb._mod_mul(a_R, u_inv, limb.FR), limb.FR
+            )
+            b_next = limb._mod_add(
+                limb._mod_mul(b_L, u_inv, limb.FR), limb._mod_mul(b_R, u, limb.FR), limb.FR
+            )
+            zpad = jnp.zeros((NLc, n - nh), jnp.int32)
+            a_d = jnp.concatenate([a_next, zpad], axis=-1)
+            b_d = jnp.concatenate([b_next, zpad], axis=-1)
+            return (state, a_d, b_d, wG, wH, half), (x, y, iid)
+
+        init = (state32, a_d, b_d, wG, wH, jnp.int32(n))
+        (state32, a_d, b_d, _, _, _), (xs, ys, iids) = jax.lax.scan(
+            body, init, (jnp.asarray(idxL_rounds), jnp.asarray(idxR_rounds))
+        )
+        return state32, a_d[:, 0], b_d[:, 0], xs, ys, iids
+
+    fn = jax.jit(run)
+    _FUSED_IPP_CACHE[n] = fn
+    return fn
+
+
+def _create_device_fused(transcript, Q, G_factors, H_factors, G, H, a, b):
+    """Drive the fused single-program device prover (see ``_fused_ipp_fn``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops import curve_jax as cj
+    from ..ops import limb
+
+    n = len(G)
+    if n == 1:
+        return InnerProductProof([], [], a[0], b[0])
+
+    fn = _fused_ipp_fn(n)
+    state32 = jnp.asarray(np.frombuffer(transcript.state, np.uint8).astype(np.uint32))
+    a_d = jnp.asarray(cj.scalars_from_host(a))
+    b_d = jnp.asarray(cj.scalars_from_host(b))
+    wG = jnp.asarray(cj.scalars_from_host(G_factors))
+    wH = jnp.asarray(cj.scalars_from_host(H_factors))
+    pts_d = jnp.asarray(
+        np.concatenate(
+            [cj.points_from_host(G), cj.points_from_host(H), cj.points_from_host([Q])],
+            axis=-1,
+        )
+    )
+
+    state32, a_fin, b_fin, xs, ys, iids = fn(state32, a_d, b_d, wG, wH, pts_d)
+
+    # one transfer for everything; synchronize the host transcript state
+    state_b = bytes(int(v) for v in np.asarray(state32))
+    transcript.state = state_b
+    xs_np, ys_np, iids_np = np.asarray(xs), np.asarray(ys), np.asarray(iids)
+    L_vec, R_vec = [], []
+    for rnd in range(xs_np.shape[0]):
+        xv = limb.limbs_to_ints(xs_np[rnd])
+        yv = limb.limbs_to_ints(ys_np[rnd])
+        for k, vec in ((0, L_vec), (1, R_vec)):
+            if iids_np[rnd, k]:
+                vec.append(StarkPoint.identity())
+            else:
+                vec.append(StarkPoint(int(xv[k]), int(yv[k])))
+    a_sc = cj.scalars_to_host(np.asarray(a_fin)[:, None])[0]
+    b_sc = cj.scalars_to_host(np.asarray(b_fin)[:, None])[0]
+    return InnerProductProof(L_vec, R_vec, a_sc, b_sc)

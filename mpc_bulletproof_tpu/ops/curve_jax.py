@@ -1,12 +1,15 @@
 """Batched STARK-curve group arithmetic on TPU.
 
-Points are projective ``(X : Y : Z)`` **lazy** limb tensors of shape
-``(3, NLZ, n)`` (int32, 13-bit semi-normalized limbs, batch-last — see the
-"Lazy arithmetic" section of :mod:`.limb`).  The identity is ``(0 : 1 : 0)``.
-Coordinates carry values in ``[0, 16m)`` rather than canonical ``[0, m)``:
-the group law never inspects a coordinate, so intermediate chains skip both
-exact carry resolution and canonical reduction — the two dominant costs of
-the round-1 exact pipeline — and host conversion reduces mod p anyway.
+Points are projective ``(X : Y : Z)`` **lazy Montgomery-form** limb tensors
+of shape ``(3, NLZ, n)`` (int32, 13-bit semi-normalized limbs, batch-last —
+see the "Lazy arithmetic" section of :mod:`.limb`).  The identity is
+``(0 : R : 0)`` with ``R = beta^NLZ mod p``.  Coordinates carry values in
+``[0, 16m)`` rather than canonical ``[0, m)``, in Montgomery representation
+``x*R mod p``: the group law never inspects a coordinate, so intermediate
+chains skip exact carry resolution, canonical reduction, *and* Barrett
+quotient estimation (REDC needs none) — the dominant costs of the round-1
+exact pipeline.  Host conversion multiplies by R / R^-1 for free (python
+ints), and the device transcript path converts once per absorbed point.
 
 Addition uses the *complete* formulas of Renes-Costello-Batina 2016
 (eprint 2015/1060, Algorithm 1 for arbitrary ``a``): one straight-line
@@ -54,29 +57,34 @@ _B3 = (3 * BETA) % P  # 3b constant of the addition formulas
 assert ALPHA == 1, "formulas below exploit a = 1 (mul by a is free)"
 
 
+_B3_MONT = (_B3 * FP.mont_r) % P  # 3b in Montgomery form
+
+
 def default_ctx():
-    """Curve context: lazy-arithmetic constants as ``(limbs, 1)`` arrays.
+    """Curve context: lazy-arithmetic constants as ``(limbs, 1)`` arrays
+    (plus the static int ``m_prime`` for REDC).
 
     Pallas kernels rebuild this from kernel operands (Mosaic forbids captured
     array constants); the plain XLA path uses these module constants.
     """
     return types.SimpleNamespace(
         m=jnp.asarray(FP.m),
-        mu=jnp.asarray(FP.mu),
-        d21=jnp.asarray(FP.d21),
-        b3=jnp.asarray(int_to_limbs_np(_B3, NLZ)),
+        m_prime=FP.m_prime,
+        b3=jnp.asarray(int_to_limbs_np(_B3_MONT, NLZ)),
         k8=jnp.asarray(FP.k8),
         k16=jnp.asarray(FP.k16),
         k32=jnp.asarray(FP.k32),
     )
 
 
+_IDENTITY_NP = np.zeros((3, NLZ, 1), dtype=np.int32)
+_IDENTITY_NP[1] = int_to_limbs_np(FP.mont_r, NLZ)  # 1 in Montgomery form
+
+
 def identity(batch_shape=()) -> jnp.ndarray:
-    """The projective identity (0 : 1 : 0), broadcast to ``batch_shape``."""
-    pt = np.zeros((3, NLZ, 1), dtype=np.int32)
-    pt[1, 0, 0] = 1
+    """The projective identity (0 : R : 0) — Montgomery form — broadcast."""
     return jnp.broadcast_to(
-        jnp.asarray(pt).reshape((3, NLZ) + (1,) * len(batch_shape)),
+        jnp.asarray(_IDENTITY_NP).reshape((3, NLZ) + (1,) * len(batch_shape)),
         (3, NLZ) + batch_shape,
     )
 
@@ -84,10 +92,11 @@ def identity(batch_shape=()) -> jnp.ndarray:
 def _point_add(p: jnp.ndarray, q: jnp.ndarray, ctx=None) -> jnp.ndarray:
     """Complete projective addition (RCB16 Algorithm 1, a = 1), lazy.
 
-    ``p``, ``q``: ``(3, NLZ, ...)`` with coordinate values <= 16m;
-    broadcasting over batch dims is allowed.  Outputs < 14m.  The value
-    bound of each intermediate is noted; ``lazy_sub`` slack constants are
-    chosen per site to exceed the subtrahend's bound.
+    ``p``, ``q``: ``(3, NLZ, ...)`` Montgomery-form coords with values
+    <= 16m; broadcasting over batch dims is allowed.  Outputs < 10m.  The
+    value bound of each intermediate is noted; ``lazy_sub`` slack constants
+    are chosen per site to exceed the subtrahend's bound, and every REDC
+    input stays far below m * beta^NLZ (products of values < 32m).
     """
     if ctx is None:
         ctx = default_ctx()
@@ -95,32 +104,32 @@ def _point_add(p: jnp.ndarray, q: jnp.ndarray, ctx=None) -> jnp.ndarray:
     X1, Y1, Z1 = p[0], p[1], p[2]
     X2, Y2, Z2 = q[0], q[1], q[2]
 
-    t0 = _mul(X1, X2)                                   # < 6m
-    t1 = _mul(Y1, Y2)                                   # < 6m
-    t2 = _mul(Z1, Z2)                                   # < 6m
-    t3 = _mul(lazy_add(X1, Y1), lazy_add(X2, Y2))       # adds < 32m; < 6m
-    t3 = lazy_sub(t3, lazy_add(t0, t1), ctx.k16)        # < 22m
-    t4 = _mul(lazy_add(X1, Z1), lazy_add(X2, Z2))       # < 6m
-    t4 = lazy_sub(t4, lazy_add(t0, t2), ctx.k16)        # < 22m
-    t5 = _mul(lazy_add(Y1, Z1), lazy_add(Y2, Z2))       # < 6m
-    t5 = lazy_sub(t5, lazy_add(t1, t2), ctx.k16)        # < 22m
+    t0 = _mul(X1, X2)                                   # < 2m
+    t1 = _mul(Y1, Y2)                                   # < 2m
+    t2 = _mul(Z1, Z2)                                   # < 2m
+    t3 = _mul(lazy_add(X1, Y1), lazy_add(X2, Y2))       # adds < 32m; < 2m
+    t3 = lazy_sub(t3, lazy_add(t0, t1), ctx.k8)         # < 10m
+    t4 = _mul(lazy_add(X1, Z1), lazy_add(X2, Z2))       # < 2m
+    t4 = lazy_sub(t4, lazy_add(t0, t2), ctx.k8)         # < 10m
+    t5 = _mul(lazy_add(Y1, Z1), lazy_add(Y2, Z2))       # < 2m
+    t5 = lazy_sub(t5, lazy_add(t1, t2), ctx.k8)         # < 10m
     Z3 = t4                                             # a * t4 with a = 1
-    X3 = _mul(ctx.b3, t2)                               # < 6m
-    Z3 = lazy_add(X3, Z3)                               # < 28m
-    X3 = lazy_sub(t1, Z3, ctx.k32)                      # < 38m
-    Z3 = lazy_add(t1, Z3)                               # < 34m
-    Y3 = _mul(X3, Z3)                                   # 38m*34m < beta^40; < 6m
-    t1 = lazy_add(lazy_add(t0, t0), t0)                 # 3*t0 < 18m
-    t4b = _mul(ctx.b3, t4)                              # < 6m
-    t1 = lazy_add(t1, t2)                               # 3*t0 + a*t2 < 24m
-    t2 = lazy_sub(t0, t2, ctx.k8)                       # (t0 - a*t2) < 14m
-    t4 = lazy_add(t4b, t2)                              # < 20m
-    t0 = _mul(t1, t4)                                   # < 6m
-    Y3 = lazy_add(Y3, t0)                               # < 12m  (output)
-    t0 = _mul(t5, t4)                                   # < 6m
-    X3 = lazy_sub(_mul(t3, X3), t0, ctx.k8)             # < 14m  (output)
-    t0 = _mul(t3, t1)                                   # < 6m
-    Z3 = lazy_add(_mul(t5, Z3), t0)                     # < 12m  (output)
+    X3 = _mul(ctx.b3, t2)                               # < 2m
+    Z3 = lazy_add(X3, Z3)                               # < 12m
+    X3 = lazy_sub(t1, Z3, ctx.k16)                      # < 18m
+    Z3 = lazy_add(t1, Z3)                               # < 14m
+    Y3 = _mul(X3, Z3)                                   # < 2m
+    t1 = lazy_add(lazy_add(t0, t0), t0)                 # 3*t0 < 6m
+    t4b = _mul(ctx.b3, t4)                              # < 2m
+    t1 = lazy_add(t1, t2)                               # 3*t0 + a*t2 < 8m
+    t2 = lazy_sub(t0, t2, ctx.k8)                       # (t0 - a*t2) < 10m
+    t4 = lazy_add(t4b, t2)                              # < 12m
+    t0 = _mul(t1, t4)                                   # < 2m
+    Y3 = lazy_add(Y3, t0)                               # < 4m   (output)
+    t0 = _mul(t5, t4)                                   # < 2m
+    X3 = lazy_sub(_mul(t3, X3), t0, ctx.k8)             # < 10m  (output)
+    t0 = _mul(t3, t1)                                   # < 2m
+    Z3 = lazy_add(_mul(t5, Z3), t0)                     # < 4m   (output)
     return jnp.stack([X3, Y3, Z3], axis=0)
 
 
@@ -170,13 +179,16 @@ is_identity = jax.jit(_is_identity)
 # ---------------------------------------------------------------------------
 
 def points_from_host(points) -> np.ndarray:
-    """List of host ``StarkPoint`` -> ``(3, NLZ, n)`` projective limb array."""
+    """List of host ``StarkPoint`` -> ``(3, NLZ, n)`` Montgomery projective
+    limb array (coords scaled by R on the host — free in python ints)."""
+    R_mont = FP.mont_r
+    one_m = R_mont
     xs, ys, zs = [], [], []
     for pt in points:
         if pt.is_identity():
-            xs.append(0), ys.append(1), zs.append(0)
+            xs.append(0), ys.append(one_m), zs.append(0)
         else:
-            xs.append(pt.x), ys.append(pt.y), zs.append(1)
+            xs.append(pt.x * R_mont % P), ys.append(pt.y * R_mont % P), zs.append(one_m)
     return np.stack(
         [ints_to_limbs(xs, NLZ), ints_to_limbs(ys, NLZ), ints_to_limbs(zs, NLZ)],
         axis=0,
@@ -195,6 +207,7 @@ def points_to_host(arr) -> list:
     Ys = limbs_to_ints(a[1])
     Zs = limbs_to_ints(a[2])
     out = []
+    # coords are Montgomery (x*R); the R factors cancel in X/Z and Y/Z.
     for X, Y, Z in zip(Xs, Ys, Zs):
         if Z % P == 0:
             out.append(StarkPoint.identity())

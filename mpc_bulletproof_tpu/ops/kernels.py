@@ -83,15 +83,13 @@ def _kernel_mp(m_ref, m21_ref, mu_ref, modulus: int) -> ModParams:
 # point kernels (lazy arithmetic — see curve_jax / limb "Lazy arithmetic")
 # ---------------------------------------------------------------------------
 
-_B3_LIMBS = limb.int_to_limbs_np(curve_jax._B3, NLZ)
+_B3_LIMBS = limb.int_to_limbs_np(curve_jax._B3_MONT, NLZ)
 
 
 def _curve_operands(t: int):
     bc = lambda a, rows: jnp.broadcast_to(jnp.asarray(a), (rows, t))
     return (
         bc(FP.m, NL),
-        bc(FP.mu, NL + 1),
-        bc(FP.d21, NLZ),
         bc(_B3_LIMBS, NLZ),
         bc(FP.k8, NLZ),
         bc(FP.k16, NLZ),
@@ -101,14 +99,14 @@ def _curve_operands(t: int):
 
 def _curve_specs(t: int):
     cs = lambda rows: pl.BlockSpec((rows, t), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    return [cs(NL), cs(NL + 1), cs(NLZ), cs(NLZ), cs(NLZ), cs(NLZ), cs(NLZ)]
+    return [cs(NL), cs(NLZ), cs(NLZ), cs(NLZ), cs(NLZ)]
 
 
-def _kernel_curve_ctx(m_ref, mu_ref, d21_ref, b3_ref, k8_ref, k16_ref, k32_ref):
+def _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref):
+    # m_prime is a static python int — baked into the kernel body.
     return types.SimpleNamespace(
         m=m_ref[...],
-        mu=mu_ref[...],
-        d21=d21_ref[...],
+        m_prime=FP.m_prime,
         b3=b3_ref[...],
         k8=k8_ref[...],
         k16=k16_ref[...],
@@ -116,9 +114,8 @@ def _kernel_curve_ctx(m_ref, mu_ref, d21_ref, b3_ref, k8_ref, k16_ref, k32_ref):
     )
 
 
-def _padd_kernel(m_ref, mu_ref, d21_ref, b3_ref, k8_ref, k16_ref, k32_ref,
-                 a_ref, b_ref, o_ref):
-    ctx = _kernel_curve_ctx(m_ref, mu_ref, d21_ref, b3_ref, k8_ref, k16_ref, k32_ref)
+def _padd_kernel(m_ref, b3_ref, k8_ref, k16_ref, k32_ref, a_ref, b_ref, o_ref):
+    ctx = _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref)
     o_ref[...] = curve_jax._point_add(a_ref[...], b_ref[...], ctx)
 
 

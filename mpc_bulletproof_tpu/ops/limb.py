@@ -106,6 +106,10 @@ class ModParams:
         self.k8 = int_to_limbs_np(8 * modulus, NLZ)
         self.k16 = int_to_limbs_np(16 * modulus, NLZ)
         self.k32 = int_to_limbs_np(32 * modulus, NLZ)
+        # Montgomery constants for the lazy point path: R = beta^NLZ.
+        self.mont_r = (1 << (BASE_BITS * NLZ)) % modulus
+        self.mont_r_inv = pow(self.mont_r, -1, modulus)
+        self.m_prime = (-pow(modulus, -1, BASE)) % BASE  # -m^-1 mod beta
 
     def __repr__(self):
         return f"ModParams(0x{self.modulus:x})"
@@ -499,30 +503,40 @@ def _sn_sweeps(x: jnp.ndarray, out_len: int, sweeps: int) -> jnp.ndarray:
     return y
 
 
-def _lazy_barrett(x: jnp.ndarray, ctx) -> jnp.ndarray:
-    """Reduce a 41-limb SN value ``x < beta^(2 NL)`` to 21 SN limbs < 6m.
+def _redc(wide: jnp.ndarray, ctx) -> jnp.ndarray:
+    """Montgomery REDC: 41-limb SN value ``x`` -> 21 SN limbs, value
+    ``x * beta^-NLZ mod-lazy`` < 2m (for ``x < m * beta^NLZ``).
 
-    ``ctx`` carries limb tensors ``m`` (NL), ``mu`` (NL+1), ``d21`` (NLZ),
-    broadcastable against the batch.
+    NLZ sequential limb-elimination steps: step ``i`` picks
+    ``u = (x_i * m') mod beta`` (``m' = -m^-1 mod beta``, a static int) and
+    adds ``u * m * beta^i``, zeroing limb ``i`` exactly; its full value
+    moves into the carry.  All accumulation stays within int32 (axpy terms
+    <= 20 * 2^26 on any row).  Cheaper than Barrett by ~2x: no quotient
+    convolution, and the output bound drops from 6m to 2m.
     """
-    q1 = x[NL - 1 :]
-    q2 = _sn_sweeps(conv_full(q1, ctx.mu), q1.shape[0] + NL, 3)
-    q_hat = q2[NL + 1 :]
-    d = conv_full(q_hat, ctx.m)  # unnormalized, columns <= NL terms
-    if d.shape[0] < x.shape[0]:
-        d = jnp.pad(d, [(0, x.shape[0] - d.shape[0])] + [(0, 0)] * (d.ndim - 1))
-    m_pad = jnp.pad(ctx.m, [(0, x.shape[0] - ctx.m.shape[0])] + [(0, 0)] * (ctx.m.ndim - 1))
-    r = _sn_sweeps(x - d + m_pad, x.shape[0], 3)
-    wrap = (r[NLZ] & MASK) == MASK  # hi part == -1 as a number
-    r_low = r[:NLZ] - jnp.where(wrap[None], ctx.d21, 0)
-    return _sn_sweeps(r_low, NLZ, 1)
+    mp_int = ctx.m_prime
+    m_rows = ctx.m  # (NL, ...) canonical limbs
+    rows = [wide[i] for i in range(wide.shape[0])]
+    for i in range(NLZ):
+        u = ((rows[i] & MASK) * mp_int) & MASK
+        for k in range(NL):
+            rows[i + k] = rows[i + k] + u * m_rows[k]
+        carry = rows[i] >> BASE_BITS
+        rows[i + 1] = rows[i + 1] + carry
+    res = jnp.stack(rows[NLZ:], axis=0)
+    return _sn_sweeps(res, NLZ, 3)
 
 
 def lazy_mul(a: jnp.ndarray, b: jnp.ndarray, ctx) -> jnp.ndarray:
-    """(a * b) mod-lazy: NLZ-limb SN inputs (values < ~40m), output < 6m."""
+    """Montgomery product ``a * b * beta^-NLZ`` mod-lazy.
+
+    NLZ-limb SN inputs in Montgomery form (values < ~2^260), output < 2m,
+    also Montgomery form.  The MSM/point layer keeps all coordinates in
+    Montgomery form; host conversion multiplies by R / R^-1 for free.
+    """
     a, b = _broadcast_batch(a, b)
     wide = _sn_sweeps(conv_full(a, b), 2 * NLZ - 1, 3)
-    return _lazy_barrett(wide, ctx)
+    return _redc(wide, ctx)
 
 
 def lazy_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

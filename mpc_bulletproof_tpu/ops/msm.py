@@ -48,13 +48,6 @@ from .limb import BASE_BITS, NL
 FIELD_BITS = 252
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
-
-
 def select_window(n: int) -> int:
     """Pick the signed-digit window size minimizing ~windows*(2n + 2^c).
 
@@ -76,18 +69,26 @@ def select_window(n: int) -> int:
 
 
 def _digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
-    """``(NL, n)`` limbs -> ``(num_windows, n)`` c-bit digit rows."""
-    n = scalars.shape[-1]
-    # bits: (NL*13, n)
-    bits = jnp.stack(
-        [(scalars[i] >> j) & 1 for i in range(NL) for j in range(BASE_BITS)], axis=0
-    )[:FIELD_BITS]
+    """``(NL, n)`` limbs -> ``(num_windows, n)`` c-bit digit rows.
+
+    Each window's bits span at most 3 limbs; extracted with masked
+    shift-ors (no 252-row bit matrix — a 1 GB intermediate at n = 2^20).
+    """
     nw = -(-FIELD_BITS // c)
-    pad = nw * c - FIELD_BITS
-    if pad:
-        bits = jnp.pad(bits, [(0, pad), (0, 0)])
-    weights = jnp.asarray([1 << j for j in range(c)], dtype=jnp.int32)[None, :, None]
-    return jnp.sum(bits.reshape(nw, c, n) * weights, axis=1)
+    rows = []
+    for w in range(nw):
+        lo_bit = w * c
+        k, off = divmod(lo_bit, BASE_BITS)
+        val = scalars[k] >> off
+        got = BASE_BITS - off
+        k += 1
+        while got < c and k < NL:
+            take = min(BASE_BITS, c - got)
+            val = val | ((scalars[k] & ((1 << take) - 1)) << got)
+            got += take
+            k += 1
+        rows.append(val & ((1 << c) - 1))
+    return jnp.stack(rows, axis=0)
 
 
 def _signed_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -113,20 +114,59 @@ def _signed_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(rows, axis=0)
 
 
-def _inclusive_scan(pts: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix point-sum along the lane axis (halving tree, 2n adds)."""
+_SCAN_CHUNK = 1 << 14
+
+
+def _inclusive_scan_tree(pts: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix point-sum along the lane axis (halving tree, 2n adds).
+
+    Handles any length (odd levels pad one identity), so MSM widths need no
+    power-of-two padding.
+    """
     n = pts.shape[-1]
     if n == 1:
         return pts
+    if n % 2:
+        pts = jnp.concatenate([pts, cj.identity((1,))], axis=-1)
     pairs = kernels.point_add(pts[..., 0::2], pts[..., 1::2])
-    sp = _inclusive_scan(pairs)  # prefix sums of pairs
+    sp = _inclusive_scan_tree(pairs)  # prefix sums of pairs
     shifted = jnp.concatenate([cj.identity((1,)), sp[..., :-1]], axis=-1)
     evens = kernels.point_add(shifted, pts[..., 0::2])
-    return jnp.stack([evens, sp], axis=-1).reshape(*pts.shape[:-1], n)
+    out = jnp.stack([evens, sp], axis=-1).reshape(*pts.shape[:-1], pts.shape[-1])
+    return out[..., :n]
 
 
-def _reduce_sum(pts: jnp.ndarray) -> jnp.ndarray:
-    """Sum of points along the lane axis -> ``(3, NL, 1)``."""
+def _inclusive_scan(pts: jnp.ndarray) -> jnp.ndarray:
+    """Prefix point-sum; large inputs run a ``lax.scan`` over fixed-width
+    chunks (carry folded into each chunk's first element) so the compiled
+    program size is O(log CHUNK), not O(log n) distinct kernel shapes —
+    big-n programs otherwise blow past compile-payload limits (and compile
+    minutes) with one Mosaic kernel copy per tree level."""
+    n = pts.shape[-1]
+    if n <= _SCAN_CHUNK:
+        return _inclusive_scan_tree(pts)
+    k = -(-n // _SCAN_CHUNK)
+    pad = k * _SCAN_CHUNK - n
+    if pad:
+        pts = jnp.concatenate([pts, cj.identity((pad,))], axis=-1)
+    chunks = jnp.moveaxis(
+        pts.reshape(*pts.shape[:-1], k, _SCAN_CHUNK), -2, 0
+    )  # (k, 3, NLZ, CH)
+
+    def body(carry, chunk):
+        first = kernels.point_add(chunk[..., :1], carry)
+        local = _inclusive_scan_tree(
+            jnp.concatenate([first, chunk[..., 1:]], axis=-1)
+        )
+        return local[..., -1:], local
+
+    _, outs = jax.lax.scan(body, cj.identity((1,)), chunks)
+    out = jnp.moveaxis(outs, 0, -2).reshape(*pts.shape[:-1], k * _SCAN_CHUNK)
+    return out[..., :n]
+
+
+def _reduce_sum_tree(pts: jnp.ndarray) -> jnp.ndarray:
+    """Sum of points along the lane axis -> ``(3, NLZ, 1)``."""
     n = pts.shape[-1]
     while n > 1:
         half = (n + 1) // 2
@@ -137,16 +177,29 @@ def _reduce_sum(pts: jnp.ndarray) -> jnp.ndarray:
     return pts
 
 
+def _reduce_sum(pts: jnp.ndarray) -> jnp.ndarray:
+    """Point sum; chunked like :func:`_inclusive_scan` for program size."""
+    n = pts.shape[-1]
+    if n <= _SCAN_CHUNK:
+        return _reduce_sum_tree(pts)
+    k = -(-n // _SCAN_CHUNK)
+    pad = k * _SCAN_CHUNK - n
+    if pad:
+        pts = jnp.concatenate([pts, cj.identity((pad,))], axis=-1)
+    chunks = jnp.moveaxis(pts.reshape(*pts.shape[:-1], k, _SCAN_CHUNK), -2, 0)
+
+    def body(carry, chunk):
+        return kernels.point_add(carry, _reduce_sum_tree(chunk)), None
+
+    total, _ = jax.lax.scan(body, cj.identity((1,)), chunks)
+    return total
+
+
 def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = None):
     """MSM over ``(NL, n)`` scalars and ``(3, NL, n)`` points -> ``(3, NL)``."""
     n = scalars.shape[-1]
     if c is None:
         c = select_window(n)
-    npad = _next_pow2(n)
-    if npad != n:
-        scalars = jnp.pad(scalars, [(0, 0), (0, npad - n)])
-        points = jnp.concatenate([points, cj.identity((npad - n,))], axis=-1)
-        n = npad
     B = (1 << (c - 1)) + 1  # signed buckets: |digit| in [0, 2^(c-1)]
 
     digits = _signed_digits(scalars, c)  # (nw, n) in [-2^(c-1), 2^(c-1)]

@@ -54,3 +54,28 @@ def test_device_ipp_matches_host(n, monkeypatch):
 
     assert p_dev.to_bytes() == p_host.to_bytes()
     assert t_dev.state == t_host.state
+
+
+@pytest.mark.parametrize("n", [8])
+def test_fused_device_ipp_matches_host(n):
+    """The fused single-program prover (device keccak transcript, in-graph
+    MSMs through the Pallas interpreter) must be byte-identical to the host
+    prover, including the final transcript state."""
+    gens = BulletproofGens(n, 1)
+    G, H = gens.share(0).G(n), gens.share(0).H(n)
+    Q = StarkPoint.generator().scalar_mul(Scalar(0xABCD))
+    a = [Scalar(rng.getrandbits(260)) for _ in range(n)]
+    b = [Scalar(rng.getrandbits(260)) for _ in range(n)]
+    Gf = scalar_powers(Scalar(rng.getrandbits(251)), n)
+    Hf = scalar_powers(Scalar(rng.getrandbits(251)), n)
+
+    t_dev = HashChainTranscript(b"fused")
+    t_dev.innerproduct_domain_sep(n)
+    p_dev = ipp_mod._create_device_fused(t_dev, Q, Gf, Hf, list(G), list(H), list(a), list(b))
+
+    t_host = HashChainTranscript(b"fused")
+    t_host.innerproduct_domain_sep(n)
+    p_host = ipp_mod._create_host(t_host, Q, Gf, Hf, list(G), list(H), list(a), list(b))
+
+    assert p_dev.to_bytes() == p_host.to_bytes()
+    assert t_dev.state == t_host.state
