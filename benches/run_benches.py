@@ -10,7 +10,7 @@
 
 Prints a markdown table; writes JSON results next to this file.
 
-    python benches/run_benches.py [--max-ipp 12] [--quick]
+    python benches/run_benches.py [--max-ipp 16] [--quick]
 """
 
 from __future__ import annotations
@@ -250,9 +250,9 @@ def bench_mpc(reps):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--max-ipp", type=int, default=12)
+    ap.add_argument("--max-ipp", type=int, default=16)
     ap.add_argument("--max-r1cs", type=int, default=10)
-    ap.add_argument("--max-shuffle", type=int, default=8)
+    ap.add_argument("--max-shuffle", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()

@@ -19,6 +19,17 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# The MPC integration suite targets the protocol layers on the host path;
+# the axon TPU plugin overrides JAX_PLATFORMS and its tunnel is
+# single-tenant, so force the host backend before anything touches jax.
+os.environ.setdefault("BP_FORCE_BACKEND", "host")
+import jax
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # already initialized
+    pass
+
 from mpc_bulletproof_tpu import (
     BulletproofGens,
     HashChainTranscript,
@@ -189,6 +200,114 @@ def test_mpc_shuffle(fabric: MpcFabric):
     ov = [verifier.commit(c) for c in out_c]
     shuffle_gadget(verifier, iv, ov)
     verifier.verify(proof, BP)
+
+
+@integration_test("mpc_prover_malleability")
+def test_mpc_prover_malleability(fabric: MpcFabric):
+    """A party that malleates its share of the IPP tail after proving must
+    be caught by the MAC-checked opening
+    (reference integration/mpc_prover.rs:336-351)."""
+    transcript = HashChainTranscript(b"mpc-malleate")
+    prover = MpcProver(fabric, PC, transcript)
+    blind = [det_scalar(2000 + i) for i in range(5)]
+    if fabric.party_id == 0:
+        comms0, vars0 = prover.batch_commit(0, [Scalar(3), Scalar(6), Scalar(40)], blind[:3])
+        comms1, vars1 = prover.batch_commit(1, None, None, count=2)
+    else:
+        comms0, vars0 = prover.batch_commit(0, None, None, count=3)
+        comms1, vars1 = prover.batch_commit(1, [Scalar(4), Scalar(1)], blind[3:])
+    c2 = LinearCombination({Variable.one(): Scalar(9)})
+    example_gadget(
+        prover,
+        vars0[0].to_lc(), vars1[0].to_lc(), vars0[1].to_lc(),
+        vars1[1].to_lc(), vars0[2].to_lc(), c2,
+    )
+    partial = prover.prove(BP)
+    if fabric.party_id == 1:
+        partial.ipp_proof.a.shares[0] = partial.ipp_proof.a.shares[0] + Scalar(5)
+    # party 0 adds zero to stay round-synchronized
+    try:
+        partial.open()
+    except AuthenticationError:
+        return
+    raise AssertionError("malleated R1CS proof share was not detected")
+
+
+@integration_test("mpc_prover_false_statement")
+def test_mpc_prover_false_statement(fabric: MpcFabric):
+    """A collaboratively-proved *false* statement must fail plain
+    verification (reference integration/mpc_prover.rs:262-334)."""
+    transcript = HashChainTranscript(b"mpc-false")
+    prover = MpcProver(fabric, PC, transcript)
+    blind = [det_scalar(3000 + i) for i in range(5)]
+    # (3 + 4)(6 + 1) = 49 but c1 + c2 = 41 + 9 = 50: the gadget cannot hold.
+    if fabric.party_id == 0:
+        comms0, vars0 = prover.batch_commit(0, [Scalar(3), Scalar(6), Scalar(41)], blind[:3])
+        comms1, vars1 = prover.batch_commit(1, None, None, count=2)
+    else:
+        comms0, vars0 = prover.batch_commit(0, None, None, count=3)
+        comms1, vars1 = prover.batch_commit(1, [Scalar(4), Scalar(1)], blind[3:])
+    c2 = LinearCombination({Variable.one(): Scalar(9)})
+    example_gadget(
+        prover,
+        vars0[0].to_lc(), vars1[0].to_lc(), vars0[1].to_lc(),
+        vars1[1].to_lc(), vars0[2].to_lc(), c2,
+    )
+    proof = prover.prove(BP).open()
+
+    vt = HashChainTranscript(b"mpc-false")
+    verifier = Verifier(PC, vt)
+    vvars = [verifier.commit(c) for c in comms0 + comms1]
+    example_gadget(
+        verifier,
+        vvars[0].to_lc(), vvars[3].to_lc(), vvars[1].to_lc(),
+        vvars[4].to_lc(), vvars[2].to_lc(), c2,
+    )
+    try:
+        verifier.verify(proof, BP)
+    except Exception:
+        return
+    raise AssertionError("false statement verified")
+
+
+@integration_test("shared_ipp_random_ownership")
+def test_shared_ipp_random_ownership(fabric: MpcFabric):
+    """Shared IPP over a 2x16 vector with per-index randomized ownership
+    (reference integration/mpc_inner_product.rs:208-306)."""
+    import random as _random
+
+    n = 16
+    G = BP.share(0).G(n)
+    H = BP.share(0).H(n)
+    Q = StarkPoint.generator().scalar_mul(Scalar(0x17))
+    a = [det_scalar(31 * i + 5) for i in range(n)]
+    b = [det_scalar(17 * i + 3) for i in range(n)]
+    # both parties derive the same deterministic ownership map
+    owners = [_random.Random(777 + i).randrange(2) for i in range(2 * n)]
+
+    def share_elementwise(vals, base):
+        parts = []
+        for i, v in enumerate(vals):
+            owner = owners[base + i]
+            parts.append(
+                fabric.batch_share_scalars(
+                    [v] if fabric.party_id == owner else None, owner, count=1
+                )
+            )
+        return AuthenticatedScalarVector.concat(parts)
+
+    a_sh = share_elementwise(a, 0)
+    b_sh = share_elementwise(b, n)
+    t = MpcTranscript(HashChainTranscript(b"ipp-rand-own"))
+    proof = SharedInnerProductProof.create(
+        t, Q, [Scalar(1)] * n, [Scalar(1)] * n, list(G), list(H), a_sh, b_sh, fabric
+    )
+    opened = proof.open()
+
+    c = inner_product(a, b)
+    P = StarkPoint.msm(a + b + [c], G + H + [Q])
+    vt = HashChainTranscript(b"ipp-rand-own")
+    opened.verify(n, vt, [Scalar(1)] * n, [Scalar(1)] * n, P, Q, G, H)
 
 
 # ---------------------------------------------------------------------------

@@ -9,9 +9,9 @@ FILTER=${1:-}
 ARGS=()
 [ -n "$FILTER" ] && ARGS+=(--test "$FILTER")
 
-JAX_PLATFORMS=cpu python integration/main.py --party 1 --port "$PORT" "${ARGS[@]}" &
+JAX_PLATFORMS=cpu BP_FORCE_BACKEND=host python integration/main.py --party 1 --port "$PORT" "${ARGS[@]}" &
 P1=$!
-JAX_PLATFORMS=cpu python integration/main.py --party 0 --port "$PORT" "${ARGS[@]}"
+JAX_PLATFORMS=cpu BP_FORCE_BACKEND=host python integration/main.py --party 0 --port "$PORT" "${ARGS[@]}"
 STATUS=$?
 wait $P1
 exit $STATUS

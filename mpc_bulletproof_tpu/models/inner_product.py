@@ -205,11 +205,8 @@ class InnerProductProof:
 
 
 def _msm(scalars, points) -> StarkPoint:
-    if backend.use_device() and len(scalars) >= 32:
-        from ..ops import msm as msm_mod
-
-        return msm_mod.msm_host_points(scalars, points)
-    return StarkPoint.msm(scalars, points)
+    """Protocol MSM -> ops.backend.dispatch_msm (sharded/device/host)."""
+    return backend.dispatch_msm(scalars, points)
 
 
 # ---------------------------------------------------------------------------
@@ -550,6 +547,22 @@ def _fused_ipp_fn(n: int):
         return fn
 
     import jax
+
+    run = fused_ipp_body(n)
+    fn = jax.jit(run)
+    _FUSED_IPP_CACHE[n] = fn
+    return fn
+
+
+def fused_ipp_body(n: int):
+    """The traceable fused-IPP program for size ``n`` (unjitted).
+
+    Returned callable: ``run(state32, a_d, b_d, wG, wH, pts_d) ->
+    (state32, a_final, b_final, xs, ys, iids)``.  Used standalone by
+    :func:`_fused_ipp_fn` and inlined by the fused range-proof prover
+    (``models/range_proof/fused_device.py``).
+    """
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -632,9 +645,7 @@ def _fused_ipp_fn(n: int):
         )
         return state32, a_d[:, 0], b_d[:, 0], xs, ys, iids
 
-    fn = jax.jit(run)
-    _FUSED_IPP_CACHE[n] = fn
-    return fn
+    return run
 
 
 def _create_device_fused(transcript, Q, G_factors, H_factors, G, H, a, b):

@@ -30,11 +30,8 @@ from .proof import R1CSProof
 
 
 def _msm(scalars, points) -> StarkPoint:
-    if backend.use_device() and len(scalars) >= 32:
-        from ...ops import msm as msm_mod
-
-        return msm_mod.msm_host_points(scalars, points)
-    return StarkPoint.msm(scalars, points)
+    """Protocol MSM -> ops.backend.dispatch_msm (sharded/device/host)."""
+    return backend.dispatch_msm(scalars, points)
 
 
 class Verifier(RandomizableConstraintSystem):

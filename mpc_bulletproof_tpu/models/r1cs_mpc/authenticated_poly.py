@@ -47,6 +47,32 @@ class AuthenticatedVecPoly3:
         ]
         x_cat = AuthenticatedScalarVector.concat([p[0] for p in pairs])
         y_cat = AuthenticatedScalarVector.concat([p[1] for p in pairs])
+
+        from ...ops import backend
+
+        if backend.use_device() and n >= 16:
+            # Device data plane: the 9n elementwise products run as limb
+            # tensors, the Beaver (d, e) opening ships raw int32 limbs, and
+            # the block sums reduce on device; only the six t-coefficients
+            # (6 scalars + MACs) return to host.
+            from ...ops import limb
+            from ...parallel.device_shares import DeviceShareVector
+
+            dx = DeviceShareVector.from_host(x_cat)
+            dy = DeviceShareVector.from_host(y_cat)
+            dprods = dx.beaver_mul(dy)
+
+            def block_sum(i):
+                return dprods[i * n : (i + 1) * n].sum().to_host()
+
+            t1 = block_sum(0)
+            t2 = block_sum(1) + block_sum(2)
+            t3 = block_sum(3) + block_sum(4)
+            t4 = block_sum(5) + block_sum(6)
+            t5 = block_sum(7)
+            t6 = block_sum(8)
+            return AuthenticatedPoly6(t1, t2, t3, t4, t5, t6)
+
         prods = fabric.beaver_mul(x_cat, y_cat)
 
         def block_sum(i):
@@ -61,7 +87,19 @@ class AuthenticatedVecPoly3:
         return AuthenticatedPoly6(t1, t2, t3, t4, t5, t6)
 
     def eval(self, x: Scalar) -> AuthenticatedScalarVector:
-        """Horner evaluation at a public x (local)."""
+        """Horner evaluation at a public x (local; device limb tensors when
+        the device backend is active and the vector is wide enough)."""
+        from ...ops import backend
+
+        n = len(self.c1)
+        if backend.use_device() and n >= 16:
+            from ...parallel.device_shares import DeviceShareVector
+
+            d = [DeviceShareVector.from_host(c) for c in (self.c0, self.c1, self.c2, self.c3)]
+            out = d[3].mul_public(x) + d[2]
+            out = out.mul_public(x) + d[1]
+            out = out.mul_public(x) + d[0]
+            return out.to_host()
         out = self.c3.mul_public(x) + self.c2
         out = out.mul_public(x) + self.c1
         out = out.mul_public(x) + self.c0

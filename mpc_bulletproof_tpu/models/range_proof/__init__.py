@@ -41,11 +41,8 @@ from .party import Party
 
 
 def _msm(scalars, points) -> StarkPoint:
-    if backend.use_device() and len(scalars) >= 32:
-        from ...ops import msm as msm_mod
-
-        return msm_mod.msm_host_points(scalars, points)
-    return StarkPoint.msm(scalars, points)
+    """Protocol MSM -> ops.backend.dispatch_msm (sharded/device/host)."""
+    return backend.dispatch_msm(scalars, points)
 
 
 def _party_map(fn, items):
@@ -91,6 +88,18 @@ class RangeProof:
         if len(values) != len(blindings):
             raise MPCError("wrong number of blindings")
         m = len(values)
+
+        import os as _os
+
+        if backend.use_device() and _os.environ.get("BP_FORCE_BACKEND") == "device":
+            # Fused single-program device prover (handles its own dealer
+            # entry / transcript domain separation).
+            from .fused_device import prove_multiple_device
+
+            return prove_multiple_device(
+                bp_gens, pc_gens, transcript, values, blindings, n
+            )
+
         dealer = Dealer.new(bp_gens, pc_gens, transcript, n, m)
 
         from ...utils import native

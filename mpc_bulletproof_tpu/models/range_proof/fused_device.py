@@ -1,0 +1,345 @@
+"""Fully-fused on-device aggregated range-proof prover.
+
+The entire party/dealer protocol of :mod:`.party` / :mod:`.dealer` —
+value/bit commitments, both challenge rounds, the t-polynomial, the proof
+shares, and the complete inner-product argument — compiled into ONE XLA
+program with the hash chain on device (:mod:`...ops.transcript_jax`).
+Dispatch latency is paid once per aggregated proof; nothing crosses the
+host boundary until the finished proof is read back.
+
+Byte-for-byte equivalent to the host path given the same blinding stream:
+the transcript absorb order mirrors dealer.py exactly
+(V_0..V_{m-1}, A, S | y, z | T_1, T_2 | x | t_x, t_x_blinding,
+e_blinding | w | IPP rounds), and the aggregated values satisfy the same
+algebra as the summed per-party shares (sums over party slices equal
+global vector operations on the concatenated vectors).  Pinned by
+tests/test_fused_range_proof.py.
+
+Protocol reference: docs/range-proof-protocol.md (via the reference's
+docs/), dealer.py / party.py for the concrete message and transcript
+order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...constants import P, R
+from ...generators import BulletproofGens, PedersenGens
+from ...ops.curve import StarkPoint
+from ...ops.field import Scalar
+from ...transcript import HashChainTranscript
+from ..inner_product import InnerProductProof, fused_ipp_body
+
+_PROGRAM_CACHE: dict = {}
+
+
+def _program(n: int, m: int):
+    """Build (and cache) the jitted fused prover for (bitsize n, parties m)."""
+    key = (n, m)
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ...ops import curve_jax as cj
+    from ...ops import fold as fold_mod
+    from ...ops import limb
+    from ...ops import msm as msm_mod
+    from ...ops import transcript_jax as tj
+
+    NL = limb.NL
+    nm = n * m
+    ipp_run = fused_ipp_body(nm)
+    c_big = msm_mod.select_window(2 * nm)
+    # 2^i powers, tiled per party: static constant (NL, nm)
+    exp2 = np.concatenate(
+        [limb.ints_to_limbs([1 << i for i in range(n)])] * m, axis=-1
+    )
+
+    def absorb_points(state, labels, pts):
+        """Affine-convert a (3, NLZ, k) batch and absorb with per-point labels."""
+        x, y, iid = tj.lazy_points_to_affine(pts)
+        enc = tj.points_transcript_bytes(x, y, iid)
+        for i, lbl in enumerate(labels):
+            state = tj.absorb(state, lbl, enc[:, i], 64)
+        return state, (x, y, iid)
+
+    def absorb_scalar(state, lbl, s_col):
+        """Absorb a canonical (NL, 1) scalar as 32 LE bytes."""
+        return tj.absorb(state, lbl, tj.felt_bytes_le(s_col)[:, 0], 32)
+
+    def run(state32, bits, v_limbs, gamma, alpha_sum, rho_sum, sL, sR,
+            t1b_sum, t2b_sum, G_pts, H_pts, B_pt, Bb_pt):
+        FR = limb.FR
+        bits_b = bits != 0
+
+        # ---- bit commitments -------------------------------------------
+        # V_j = v_j B + gamma_j B~ ; blind terms alpha B~, rho B~ share the
+        # same batched Shamir scan (B/B~ broadcast per lane).
+        zeros = jnp.zeros((NL, 1), jnp.int32)
+        sc_l = jnp.concatenate([v_limbs, alpha_sum, rho_sum], axis=-1)  # (NL, m+2)
+        sc_r = jnp.concatenate([gamma, zeros, zeros], axis=-1)
+        bl = fold_mod.scalar_bits(sc_l)
+        br = fold_mod.scalar_bits(sc_r)
+        GL = jnp.concatenate(
+            [jnp.broadcast_to(B_pt, (3, limb.NLZ, m)),
+             jnp.broadcast_to(Bb_pt, (3, limb.NLZ, 2))], axis=-1)
+        GR = jnp.broadcast_to(Bb_pt, (3, limb.NLZ, m + 2))
+        scan1 = fold_mod.fold_points(bl, br, GL, GR)  # (3, NLZ, m+2)
+        V_pts = scan1[..., :m]
+        A_blind = scan1[..., m : m + 1]
+        S_blind = scan1[..., m + 1 : m + 2]
+
+        # A = <a_L, G> + <a_R, H> + alpha_sum B~  (a_L bits, a_R = a_L - 1:
+        # set bits select G_i, clear bits select -H_i — no scalar muls)
+        selG = cj._point_select(bits_b, G_pts, cj.identity((nm,)))
+        selH = cj._point_select(bits_b, cj.identity((nm,)), cj._point_neg(H_pts))
+        A_pt = cj._point_add(
+            msm_mod._reduce_sum(jnp.concatenate([selG, selH], axis=-1)),
+            A_blind,
+        )
+
+        # S = <s_L, G> + <s_R, H> + rho_sum B~
+        S_msm = msm_mod._msm_device_impl(
+            jnp.concatenate([sL, sR], axis=-1),
+            jnp.concatenate([G_pts, H_pts], axis=-1),
+            c_big,
+        )
+        S_pt = cj._point_add(S_msm[..., None], S_blind)
+
+        state32, (Vx, Vy, Vid) = absorb_points(state32, [b"V"] * m, V_pts)
+        state32, (ASx, ASy, ASid) = absorb_points(
+            state32, [b"A", b"S"], jnp.concatenate([A_pt, S_pt], axis=-1)
+        )
+
+        state32, y_ch = tj.challenge_scalar(state32, b"y")
+        state32, z_ch = tj.challenge_scalar(state32, b"z")
+
+        # ---- l/r polynomial coefficients over the nm lanes --------------
+        y_pows = limb._powers(y_ch[:, 0], nm, FR)                  # y^(jn+i)
+        z_pows_m = limb._powers(z_ch[:, 0], m, FR)                 # z^j
+        zz = limb._mod_mul(z_ch, z_ch, FR)                         # (NL, 1)
+        zz_zj = limb._mod_mul(jnp.repeat(z_pows_m, n, axis=-1), zz, FR)
+        exp2_d = jnp.asarray(exp2)
+
+        one = limb.from_const(1, (1,))
+        l0 = limb._mod_sub(bits_limbs(bits), jnp.broadcast_to(z_ch, (NL, nm)), FR)
+        l1 = sL
+        zm1b = limb._mod_add(
+            limb._mod_sub(z_ch, one, FR), bits_limbs(bits), FR
+        )  # z - 1 + bit = a_R + z
+        r0 = limb._mod_add(
+            limb._mod_mul(y_pows, zm1b, FR),
+            limb._mod_mul(zz_zj, exp2_d, FR),
+            FR,
+        )
+        r1 = limb._mod_mul(y_pows, sR, FR)
+
+        # t-polynomial (aggregated over parties = global inner products)
+        t0 = limb._inner_product_mod(l0, r0, FR)[:, None]
+        t2 = limb._inner_product_mod(l1, r1, FR)[:, None]
+        t_sum = limb._inner_product_mod(
+            limb._mod_add(l0, l1, FR), limb._mod_add(r0, r1, FR), FR
+        )[:, None]
+        t1 = limb._mod_sub(limb._mod_sub(t_sum, t0, FR), t2, FR)
+
+        # T_1 = t1 B + t1b_sum B~ ; T_2 likewise — one 2-lane Shamir scan
+        tb_l = jnp.concatenate([t1, t2], axis=-1)
+        tb_r = jnp.concatenate([t1b_sum, t2b_sum], axis=-1)
+        T_pts = fold_mod.fold_points(
+            fold_mod.scalar_bits(tb_l), fold_mod.scalar_bits(tb_r),
+            jnp.broadcast_to(B_pt, (3, limb.NLZ, 2)),
+            jnp.broadcast_to(Bb_pt, (3, limb.NLZ, 2)),
+        )
+        state32, (Tx, Ty, Tid) = absorb_points(state32, [b"T_1", b"T_2"], T_pts)
+        state32, x_ch = tj.challenge_scalar(state32, b"x")
+
+        # ---- proof shares (aggregated) ----------------------------------
+        t_x = limb._mod_add(
+            t0, limb._mod_mul(x_ch, limb._mod_add(t1, limb._mod_mul(x_ch, t2, FR), FR), FR), FR
+        )
+        zgamma = limb._inner_product_mod(z_pows_m, gamma, FR)[:, None]
+        t_x_blinding = limb._mod_add(
+            limb._mod_mul(zz, zgamma, FR),
+            limb._mod_mul(
+                x_ch, limb._mod_add(t1b_sum, limb._mod_mul(x_ch, t2b_sum, FR), FR), FR
+            ),
+            FR,
+        )
+        e_blinding = limb._mod_add(alpha_sum, limb._mod_mul(x_ch, rho_sum, FR), FR)
+
+        state32 = absorb_scalar(state32, b"t_x", t_x)
+        state32 = absorb_scalar(state32, b"t_x_blinding", t_x_blinding)
+        state32 = absorb_scalar(state32, b"e_blinding", e_blinding)
+        state32, w_ch = tj.challenge_scalar(state32, b"w")
+
+        # Q = w B (1-lane scan)
+        Q_pt = fold_mod.fold_points(
+            fold_mod.scalar_bits(w_ch), fold_mod.scalar_bits(zeros),
+            jnp.broadcast_to(B_pt, (3, limb.NLZ, 1)),
+            jnp.broadcast_to(B_pt, (3, limb.NLZ, 1)),
+        )
+
+        # ---- the IPP over l(x), r(x) ------------------------------------
+        l_vec = limb._mod_add(l0, limb._mod_mul(x_ch, l1, FR), FR)
+        r_vec = limb._mod_add(r0, limb._mod_mul(x_ch, r1, FR), FR)
+        y_inv = limb._mod_pow(y_ch, R - 2, FR)
+        wH = limb._powers(y_inv[:, 0], nm, FR)
+        wG = jnp.broadcast_to(limb.from_const(1, (1,)), (NL, nm))
+
+        # domain separator: innerproduct_domain_sep(nm)
+        state32 = tj.absorb(
+            state32, b"dom-sep",
+            jnp.asarray(np.frombuffer(_pad32(b"ipp v1"), np.uint8).astype(np.uint32)),
+            32,
+        )
+        state32 = tj.absorb(
+            state32, b"n",
+            jnp.asarray(np.frombuffer(int(nm).to_bytes(8, "little"), np.uint8).astype(np.uint32)),
+            8,
+        )
+
+        ipp_pts = jnp.concatenate([G_pts, H_pts, Q_pt], axis=-1)
+        state32, a_fin, b_fin, Lx, Ly, Lid = ipp_run(
+            state32, l_vec, r_vec, wG, wH, ipp_pts
+        )
+
+        return (
+            state32,
+            (Vx, Vy, Vid), (ASx, ASy, ASid), (Tx, Ty, Tid),
+            t_x, t_x_blinding, e_blinding,
+            a_fin, b_fin, Lx, Ly, Lid,
+        )
+
+    def bits_limbs(b):
+        """(nm,) 0/1 int32 -> (NL, nm) limb rows."""
+        return jnp.concatenate(
+            [b[None, :].astype(jnp.int32),
+             jnp.zeros((NL - 1, nm), jnp.int32)], axis=0
+        )
+
+    fn = jax.jit(run)
+    _PROGRAM_CACHE[key] = fn
+    return fn
+
+
+def _pad32(label: bytes) -> bytes:
+    from ...ops.keccak import pad_label
+
+    return pad_label(label)
+
+
+def prove_multiple_device(
+    bp_gens: BulletproofGens,
+    pc_gens: PedersenGens,
+    transcript: HashChainTranscript,
+    values: list[int],
+    blindings: list[Scalar],
+    n: int,
+    rng_bytes=None,
+):
+    """Fused device aggregated prove; same semantics as the host
+    party/dealer path (RangeProof.prove_multiple) including transcript
+    state.  ``rng_bytes`` mirrors party.py's injection point for
+    deterministic tests."""
+    import secrets
+
+    import jax.numpy as jnp
+
+    from ...ops import curve_jax as cj
+    from ...ops import limb
+    from . import RangeProof
+
+    if rng_bytes is None:
+        rng_bytes = secrets.token_bytes
+    m = len(values)
+    nm = n * m
+    # dealer entry (validates sizes + rangeproof_domain_sep)
+    from .dealer import Dealer
+
+    Dealer.new(bp_gens, pc_gens, transcript, n, m)
+
+    rand = lambda: Scalar(int.from_bytes(rng_bytes(48), "big"))
+    # Draw per-party blinding in the same order as party.py so the same
+    # stream produces identical proofs on both paths.
+    a_blind, s_blind, sL_all, sR_all = [], [], [], []
+    for _ in range(m):
+        a_blind.append(rand())
+        s_blind.append(rand())
+        sL_all.extend(rand() for _ in range(n))
+        sR_all.extend(rand() for _ in range(n))
+    t1b, t2b = [], []
+    for _ in range(m):
+        t1b.append(rand())
+        t2b.append(rand())
+
+    bits_np = np.zeros(nm, dtype=np.int32)
+    for j, v in enumerate(values):
+        for i in range(n):
+            bits_np[j * n + i] = (int(v) >> i) & 1
+
+    G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
+    H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
+
+    fn = _program(n, m)
+    sum_s = lambda xs: Scalar(sum(int(x) for x in xs))
+    state32 = jnp.asarray(np.frombuffer(transcript.state, np.uint8).astype(np.uint32))
+    out = fn(
+        state32,
+        jnp.asarray(bits_np),
+        jnp.asarray(cj.scalars_from_host([Scalar(int(v)) for v in values])),
+        jnp.asarray(cj.scalars_from_host(blindings)),
+        jnp.asarray(cj.scalars_from_host([sum_s(a_blind)])),
+        jnp.asarray(cj.scalars_from_host([sum_s(s_blind)])),
+        jnp.asarray(cj.scalars_from_host(sL_all)),
+        jnp.asarray(cj.scalars_from_host(sR_all)),
+        jnp.asarray(cj.scalars_from_host([sum_s(t1b)])),
+        jnp.asarray(cj.scalars_from_host([sum_s(t2b)])),
+        jnp.asarray(cj.points_from_host(G)),
+        jnp.asarray(cj.points_from_host(H)),
+        jnp.asarray(cj.points_from_host([pc_gens.B])),
+        jnp.asarray(cj.points_from_host([pc_gens.B_blinding])),
+    )
+    (state32, Vt, ASt, Tt, t_x, t_xb, e_b, a_fin, b_fin, Lx, Ly, Lid) = out
+
+    transcript.state = bytes(int(v) for v in np.asarray(state32))
+
+    def pts_of(tup):
+        x, y, iid = (np.asarray(t) for t in tup)
+        xs = limb.limbs_to_ints(x)
+        ys = limb.limbs_to_ints(y)
+        return [
+            StarkPoint.identity() if iid[k] else StarkPoint(int(xs[k]), int(ys[k]))
+            for k in range(len(xs))
+        ]
+
+    V_list = pts_of(Vt)
+    A_pt, S_pt = pts_of(ASt)
+    T1_pt, T2_pt = pts_of(Tt)
+    sc = lambda col: cj.scalars_to_host(np.asarray(col))[0]
+
+    L_vec, R_vec = [], []
+    Lx_np, Ly_np, Lid_np = np.asarray(Lx), np.asarray(Ly), np.asarray(Lid)
+    for rnd in range(Lx_np.shape[0]):
+        xv = limb.limbs_to_ints(Lx_np[rnd])
+        yv = limb.limbs_to_ints(Ly_np[rnd])
+        for k, vec in ((0, L_vec), (1, R_vec)):
+            if Lid_np[rnd, k]:
+                vec.append(StarkPoint.identity())
+            else:
+                vec.append(StarkPoint(int(xv[k]), int(yv[k])))
+
+    ipp = InnerProductProof(
+        L_vec, R_vec,
+        cj.scalars_to_host(np.asarray(a_fin)[:, None])[0],
+        cj.scalars_to_host(np.asarray(b_fin)[:, None])[0],
+    )
+    proof = RangeProof(
+        A=A_pt, S=S_pt, T_1=T1_pt, T_2=T2_pt,
+        t_x=sc(t_x), t_x_blinding=sc(t_xb), e_blinding=sc(e_b),
+        ipp_proof=ipp,
+    )
+    return proof, V_list

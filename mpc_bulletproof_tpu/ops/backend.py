@@ -7,6 +7,13 @@ results — the host layer is the golden model the kernels are tested against.
 
 Override with ``BP_FORCE_BACKEND=device|host`` (e.g. to exercise the device
 path on the CPU interpreter in integration tests).
+
+Multi-chip: install a ``jax.sharding.Mesh`` with :func:`set_mesh` and every
+protocol-level MSM large enough to amortize the collective routes through
+``parallel.sharded.sharded_msm`` (per-device Pippenger partials, one
+all-gathered point per device).  ``dispatch_msm`` is the single MSM entry
+point used by the IPP, the R1CS prover/verifier, and the range-proof
+dealer/verifier.
 """
 
 from __future__ import annotations
@@ -14,6 +21,8 @@ from __future__ import annotations
 import os
 
 import jax
+
+_ACTIVE_MESH = None
 
 
 def use_device() -> bool:
@@ -23,3 +32,45 @@ def use_device() -> bool:
     if forced == "host":
         return False
     return jax.default_backend() == "tpu"
+
+
+def set_mesh(mesh) -> None:
+    """Install (or clear, with ``None``) the mesh for sharded MSMs."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh():
+    return _ACTIVE_MESH
+
+
+# Below this size a single chip is faster than paying the collective.
+_SHARD_MIN_PER_DEVICE = 16
+# Below this size the host python/native path beats kernel dispatch.
+_DEVICE_MIN = 32
+
+
+def dispatch_msm(scalars, points):
+    """Protocol-level MSM: sharded mesh > single device > host.
+
+    Accepts host ``Scalar`` / ``StarkPoint`` lists, returns a ``StarkPoint``.
+    """
+    from .curve import StarkPoint
+
+    n = len(scalars)
+    if use_device() and n >= _DEVICE_MIN:
+        mesh = _ACTIVE_MESH
+        if mesh is not None and n >= mesh.devices.size * _SHARD_MIN_PER_DEVICE:
+            import jax.numpy as jnp
+
+            from . import curve_jax as cj
+            from ..parallel import sharded
+
+            s = jnp.asarray(cj.scalars_from_host(scalars))
+            p = jnp.asarray(cj.points_from_host(points))
+            out = sharded.sharded_msm(s, p, mesh)
+            return cj.points_to_host(out[..., None])[0]
+        from . import msm as msm_mod
+
+        return msm_mod.msm_host_points(scalars, points)
+    return StarkPoint.msm(scalars, points)

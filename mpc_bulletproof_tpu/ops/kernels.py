@@ -42,15 +42,14 @@ def _interpret() -> bool:
 
 
 def _pad_lanes(x: jnp.ndarray, mult: int) -> tuple[jnp.ndarray, int]:
-    """Pad the lane (last) dim to a multiple of ``mult`` (or to a power of two
-    below it) so the set of distinct kernel block shapes stays small."""
+    """Pad the lane (last) dim up to a multiple of ``mult``.
+
+    Everything below one tile pads to a full tile: Mosaic compiles one
+    kernel per distinct block shape and the Montgomery point-add kernel is
+    expensive to compile, so ONE shape serves every small width (<= 255
+    wasted lanes, negligible work)."""
     n = x.shape[-1]
-    if n >= mult:
-        padded = (n + mult - 1) // mult * mult
-    else:
-        padded = 8
-        while padded < n:
-            padded *= 2
+    padded = (n + mult - 1) // mult * mult
     if padded != n:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, padded - n)]
         x = jnp.pad(x, pad)
@@ -104,6 +103,7 @@ def _curve_specs(t: int):
 
 def _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref):
     # m_prime is a static python int — baked into the kernel body.
+    # unrolled_rows: Mosaic-friendly REDC emission (see limb._redc).
     return types.SimpleNamespace(
         m=m_ref[...],
         m_prime=FP.m_prime,
@@ -111,6 +111,7 @@ def _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref):
         k8=k8_ref[...],
         k16=k16_ref[...],
         k32=k32_ref[...],
+        unrolled_rows=not _interpret(),
     )
 
 

@@ -516,14 +516,37 @@ def _redc(wide: jnp.ndarray, ctx) -> jnp.ndarray:
     """
     mp_int = ctx.m_prime
     m_rows = ctx.m  # (NL, ...) canonical limbs
-    rows = [wide[i] for i in range(wide.shape[0])]
+    w, m_rows = _broadcast_batch(wide, m_rows)
+    # Limb i is never written back: after its step its entire value lives
+    # in the carry.  Two emissions of the same recurrence:
+    # * Mosaic (inside pallas kernels): per-row scalar updates — no
+    #   concats/scatters, which Mosaic lowers poorly or not at all;
+    # * XLA/interpreter: compact slice+concat (~8 ops per step) — the
+    #   pallas interpreter inlines this body at every point-add site on
+    #   CPU, where HLO count is the compile-time driver.
+    if getattr(ctx, "unrolled_rows", False):
+        rows = [w[i] for i in range(w.shape[0])]
+        mr = [m_rows[k] for k in range(NL)]
+        carry = jnp.zeros_like(rows[0])
+        for i in range(NLZ):
+            c_i = rows[i] + carry
+            u = ((c_i & MASK) * mp_int) & MASK
+            carry = (c_i + u * mr[0]) >> BASE_BITS
+            for k in range(1, NL):
+                rows[i + k] = rows[i + k] + u * mr[k]
+        rows[NLZ] = rows[NLZ] + carry
+        res = jnp.stack(rows[NLZ:], axis=0)
+        return _sn_sweeps(res, NLZ, 3)
+    carry = jnp.zeros_like(w[0])
     for i in range(NLZ):
-        u = ((rows[i] & MASK) * mp_int) & MASK
-        for k in range(NL):
-            rows[i + k] = rows[i + k] + u * m_rows[k]
-        carry = rows[i] >> BASE_BITS
-        rows[i + 1] = rows[i + 1] + carry
-    res = jnp.stack(rows[NLZ:], axis=0)
+        c_i = w[i] + carry
+        u = ((c_i & MASK) * mp_int) & MASK
+        carry = (c_i + u * m_rows[0]) >> BASE_BITS
+        w = jnp.concatenate(
+            [w[: i + 1], w[i + 1 : i + NL] + u[None] * m_rows[1:], w[i + NL :]],
+            axis=0,
+        )
+    res = jnp.concatenate([(w[NLZ] + carry)[None], w[NLZ + 1 :]], axis=0)
     return _sn_sweeps(res, NLZ, 3)
 
 

@@ -117,6 +117,11 @@ def _signed_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
 _SCAN_CHUNK = 1 << 14
 
 
+def _compile_friendly() -> bool:
+    """True on backends where pallas bodies inline into XLA (non-TPU)."""
+    return jax.default_backend() != "tpu"
+
+
 def _inclusive_scan_tree(pts: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix point-sum along the lane axis (halving tree, 2n adds).
 
@@ -136,12 +141,39 @@ def _inclusive_scan_tree(pts: jnp.ndarray) -> jnp.ndarray:
     return out[..., :n]
 
 
+def _inclusive_scan_hs(pts: jnp.ndarray) -> jnp.ndarray:
+    """Hillis-Steele prefix point-sum: ONE point-add instance scanned over
+    ceil(log2 n) shift levels.
+
+    n*log(n) adds instead of the tree's 2n — but a single inlined
+    point-add body.  Used on non-TPU backends, where the Pallas interpreter
+    inlines every instance into XLA and compile time (~10 s per instance on
+    CPU) dwarfs execution; the TPU path keeps the work-efficient tree."""
+    n = pts.shape[-1]
+    if n == 1:
+        return pts
+    levels = (n - 1).bit_length()
+    shifts = jnp.asarray([1 << k for k in range(levels)], dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(x, sh):
+        src = jnp.clip(idx - sh, 0)
+        shifted = cj._point_select((idx < sh), identity_n, jnp.take(x, src, axis=-1))
+        return kernels.point_add(x, shifted), None
+
+    identity_n = cj.identity((n,))
+    out, _ = jax.lax.scan(body, pts, shifts)
+    return out
+
+
 def _inclusive_scan(pts: jnp.ndarray) -> jnp.ndarray:
     """Prefix point-sum; large inputs run a ``lax.scan`` over fixed-width
     chunks (carry folded into each chunk's first element) so the compiled
     program size is O(log CHUNK), not O(log n) distinct kernel shapes —
     big-n programs otherwise blow past compile-payload limits (and compile
     minutes) with one Mosaic kernel copy per tree level."""
+    if _compile_friendly():
+        return _inclusive_scan_hs(pts)
     n = pts.shape[-1]
     if n <= _SCAN_CHUNK:
         return _inclusive_scan_tree(pts)
@@ -179,6 +211,8 @@ def _reduce_sum_tree(pts: jnp.ndarray) -> jnp.ndarray:
 
 def _reduce_sum(pts: jnp.ndarray) -> jnp.ndarray:
     """Point sum; chunked like :func:`_inclusive_scan` for program size."""
+    if _compile_friendly():
+        return _inclusive_scan_hs(pts)[..., -1:]
     n = pts.shape[-1]
     if n <= _SCAN_CHUNK:
         return _reduce_sum_tree(pts)

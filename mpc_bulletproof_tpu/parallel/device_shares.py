@@ -136,7 +136,9 @@ class DeviceShareVector:
         return np.asarray(limb.mod_add(self.shares, theirs, limb.FR))
 
     def open_authenticated(self) -> np.ndarray:
-        """MAC-checked opening; raises :class:`AuthenticationError`."""
+        """MAC-checked opening with commit-then-reveal on the sigma round
+        (same rushing-adversary defence as the host fabric);
+        raises :class:`AuthenticationError`."""
         import jax.numpy as jnp
 
         opened = self.open()
@@ -144,7 +146,11 @@ class DeviceShareVector:
         sigma = limb.mod_sub(
             self.macs, limb.mod_mul(jnp.asarray(opened), alpha, limb.FR), limb.FR
         )
-        their_sigma = self._exchange_limbs(sigma)
+        mine = np.ascontiguousarray(np.asarray(sigma), dtype=np.int32)
+        their_raw = self.fabric._committed_exchange(mine.tobytes())
+        if len(their_raw) != mine.nbytes:
+            raise AuthenticationError("MAC check reveal length mismatch")
+        their_sigma = np.frombuffer(their_raw, dtype=np.int32).reshape(mine.shape)
         total = np.asarray(limb.mod_add(sigma, their_sigma, limb.FR))
         if total.any():
             raise AuthenticationError("MAC check failed on device opening")

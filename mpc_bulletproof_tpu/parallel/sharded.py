@@ -95,11 +95,19 @@ def _tree_sum(pts):
 def sharded_msm(scalars, points, mesh: Mesh, c: int | None = None, axis: str = "dp"):
     """Pippenger MSM sharded over ``axis``: per-device buckets, partial
     results folded across devices (>= 80% 2-host scaling by construction —
-    communication is one point per device)."""
+    communication is one point per device).
+
+    Pads ``n`` to a multiple of the mesh size (zero scalars / identity
+    points contribute nothing)."""
     from ..ops import msm as msm_mod
 
     n = scalars.shape[-1]
     ndev = mesh.devices.size
+    pad = (-n) % ndev
+    if pad:
+        scalars = jnp.pad(scalars, [(0, 0), (0, pad)])
+        points = jnp.concatenate([points, cj.identity((pad,))], axis=-1)
+        n += pad
     if c is None:
         c = msm_mod.select_window(max(1, n // ndev))
 

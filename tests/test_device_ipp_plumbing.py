@@ -56,6 +56,7 @@ def test_device_ipp_matches_host(n, monkeypatch):
     assert t_dev.state == t_host.state
 
 
+@pytest.mark.heavy_compile
 @pytest.mark.parametrize("n", [8])
 def test_fused_device_ipp_matches_host(n):
     """The fused single-program prover (device keccak transcript, in-graph

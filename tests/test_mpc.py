@@ -181,6 +181,9 @@ def test_rushing_adversary_cannot_forge_mac_check():
 
     results = run_two_parties(honest, rushing)
     assert results[0] is True
+
+
+def test_shared_point_msm_and_open():
     g = StarkPoint.generator()
     pts = [g.scalar_mul(Scalar(i + 2)) for i in range(3)]
     scalars = [Scalar(5), Scalar(7), Scalar(9)]
@@ -563,3 +566,48 @@ def test_mpc_range_gadget():
 
     rg(verifier, v_var.to_lc(), None, n_bits)
     verifier.verify(proof, BP)
+
+
+@pytest.mark.heavy_compile
+def test_mpc_prover_device_data_plane(monkeypatch):
+    """The collaborative prover with the device MPC data plane active
+    (BP_FORCE_BACKEND=device): the t-polynomial Beaver round and l/r
+    evaluation run on device limb tensors with raw-limb openings
+    (authenticated_poly.py device path; parallel/device_shares.py), and the
+    opened proof still verifies under the plain host verifier."""
+    monkeypatch.setenv("BP_FORCE_BACKEND", "device")
+    from mpc_bulletproof_tpu.models.r1cs.gadgets import range_check_gadget as rg
+
+    n_bits = 32  # 32 multipliers -> clears the >=16 device-path threshold
+    v = 0xDEADBEEF % (1 << n_bits)
+    v_blind = rand_scalar()
+    bp_gens = BulletproofGens(64, 1)
+
+    def fn(fabric):
+        pt = HashChainTranscript(b"mpc-dev-range")
+        prover = MpcProver(fabric, PC, MpcTranscript(pt))
+        comms, v_var = prover.commit(0, Scalar(v) if fabric.party_id == 0 else None,
+                                     v_blind if fabric.party_id == 0 else None)
+        lc = v_var.to_lc()
+        exp_2 = Scalar(1)
+        for i in range(n_bits):
+            bit = (v >> i) & 1
+            pair = fabric.batch_share_scalars(
+                [Scalar(1 - bit), Scalar(bit)] if fabric.party_id == 0 else None,
+                owner=0, count=2,
+            )
+            a_var, b_var, o_var = prover.allocate_multiplier((pair[0], pair[1]))
+            prover.constrain(o_var.to_lc())
+            prover.constrain(a_var + (b_var - 1))
+            lc = lc - b_var * exp_2
+            exp_2 = exp_2 + exp_2
+        prover.constrain(lc)
+        return prover.prove(bp_gens).open(), comms
+
+    (proof, comm), _ = run_two_parties(fn, fn)
+
+    vt = HashChainTranscript(b"mpc-dev-range")
+    verifier = Verifier(PC, vt)
+    v_var = verifier.commit(comm)
+    rg(verifier, v_var.to_lc(), None, n_bits)
+    verifier.verify(proof, bp_gens)

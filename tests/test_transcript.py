@@ -81,3 +81,48 @@ def test_golden_vectors_stability():
             f"golden file {golden_path} is missing; refusing to silently "
             "re-pin the transcript format (set BP_GOLDEN_REGEN=1 to regenerate)"
         )
+
+
+def test_hand_derived_challenge_chain():
+    """Independent derivation of one full challenge (docs/compat-assumptions.md).
+
+    Rebuilds the same transcript sequence as test_golden_vectors_stability
+    from raw keccak256 calls over explicitly-spelled byte strings — no
+    transcript class involved — on top of the standard-vector-pinned keccak
+    (tests/test_keccak.py).  Each step documents the exact chain input:
+
+      state0 = keccak256(pad32(b"innerproducttest"))
+      state1 = keccak256(state0 || pad32(b"dom-sep") || pad32(b"ipp v1"))
+      state2 = keccak256(state1 || pad32(b"n") || u64le(64))
+      state3 = keccak256(state2 || pad32(b"s") || scalar_le(1234567))
+      state4 = keccak256(state3 || pad32(b"u"))         # challenge bytes
+      u      = le_int(state4 || keccak256(state4)) mod r
+    """
+    from mpc_bulletproof_tpu.constants import R
+    from mpc_bulletproof_tpu.ops.keccak import keccak256
+
+    def pad32(label: bytes) -> bytes:
+        if not label:
+            return b""
+        rem = (-len(label)) % 32
+        return label + b"\x00" * rem
+
+    state = keccak256(pad32(b"innerproducttest"))
+    state = keccak256(state + pad32(b"dom-sep") + pad32(b"ipp v1"))
+    state = keccak256(state + pad32(b"n") + (64).to_bytes(8, "little"))
+    state = keccak256(state + pad32(b"s") + (1234567).to_bytes(32, "little"))
+    state = keccak256(state + pad32(b"u"))
+    high = keccak256(state)
+    u = int.from_bytes(state + high, "little") % R
+
+    # must equal both the library's chain and the committed golden
+    t = HashChainTranscript(b"innerproducttest")
+    t.innerproduct_domain_sep(64)
+    t.append_scalar(b"s", Scalar(1234567))
+    assert t.challenge_scalar(b"u").value == u
+
+    import json, pathlib
+
+    golden_path = pathlib.Path(__file__).parent / "golden" / "transcript.json"
+    golden = json.loads(golden_path.read_text())
+    assert hex(u) == golden["ipp_challenge"]
