@@ -202,10 +202,10 @@ def main():
             "c = msm.select_window(n)\n"
             "def chain(r):\n"
             "    @jax.jit\n"
-            "    def f(s):\n"
+            "    def f(s, p):\n"
             "        acc = None\n"
             "        for i in range(r):\n"
-            "            o = msm._msm_device_impl((s + i) & 0x1FFF, pts, c)\n"
+            "            o = msm._msm_device_impl((s + i) & 0x1FFF, p, c)\n"
             "            acc = o if acc is None else kernels.point_add(acc[..., None], o[..., None])[..., 0]\n"
             "        return acc\n"
             "    return f\n"
@@ -213,8 +213,8 @@ def main():
             "    jax.block_until_ready(x); np.asarray(x).reshape(-1)[:1]\n"
             "ts = {}\n"
             "for r in (1, 2):\n"
-            "    f = chain(r); sync(f(scl))\n"
-            "    t0 = time.time(); sync(f(scl)); ts[r] = time.time() - t0\n"
+            "    f = chain(r); sync(f(scl, pts))\n"
+            "    t0 = time.time(); sync(f(scl, pts)); ts[r] = time.time() - t0\n"
             "net = ts[2] - ts[1]\n"
             "print('DEVICE_MSM n=%%d: %%.0f ms net -> %%.3f Mpoints/s' %% (n, net*1e3, n/net/1e6), flush=True)\n"
         ) % (os.path.dirname(os.path.abspath(__file__)), dev_msm_n)

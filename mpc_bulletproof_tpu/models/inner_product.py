@@ -87,21 +87,8 @@ class InnerProductProof:
         Returns ``(u_sq, u_inv_sq, s)`` for the parent protocol's single
         mega-MSM.
         """
+        challenges, challenges_inv = self.replay_challenges(n, transcript)
         lg_n = len(self.L_vec)
-        if lg_n >= 32:
-            raise VerificationError("proof too large")
-        if n != (1 << lg_n):
-            raise VerificationError("length mismatch with proof")
-
-        transcript.innerproduct_domain_sep(n)
-
-        challenges = []
-        for L, R in zip(self.L_vec, self.R_vec):
-            transcript.validate_and_append_point(b"L", L)
-            transcript.validate_and_append_point(b"R", R)
-            challenges.append(transcript.challenge_scalar(b"u"))
-
-        challenges_inv = Scalar.batch_inverse(challenges)
         allinv = Scalar(1)
         for ci in challenges_inv:
             allinv = allinv * ci
@@ -118,6 +105,30 @@ class InnerProductProof:
             s.append(s[i - k] * u_lg_i_sq)
 
         return u_sq, u_inv_sq, s
+
+    def replay_challenges(
+        self, n: int, transcript: HashChainTranscript
+    ) -> tuple[list[Scalar], list[Scalar]]:
+        """Replay the transcript absorbs and recompute (u, u^-1) per round.
+
+        The cheap, transcript-coupled part of :meth:`verification_scalars`;
+        callers with a native vector backend derive the O(n) scalar vectors
+        from these (utils/native.py::rp_verify_vectors)."""
+        lg_n = len(self.L_vec)
+        if lg_n >= 32:
+            raise VerificationError("proof too large")
+        if n != (1 << lg_n):
+            raise VerificationError("length mismatch with proof")
+
+        transcript.innerproduct_domain_sep(n)
+
+        challenges = []
+        for L, R in zip(self.L_vec, self.R_vec):
+            transcript.validate_and_append_point(b"L", L)
+            transcript.validate_and_append_point(b"R", R)
+            challenges.append(transcript.challenge_scalar(b"u"))
+
+        return challenges, Scalar.batch_inverse(challenges)
 
     def verify(
         self,

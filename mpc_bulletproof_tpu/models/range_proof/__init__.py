@@ -207,42 +207,54 @@ class RangeProof:
         t.append_scalar(b"e_blinding", self.e_blinding)
         w = t.challenge_scalar(b"w")
 
-        u_sq, u_inv_sq, s_sc = self.ipp_proof.verification_scalars(n * m, t)
-
         # Scalar bookkeeping below runs on raw ints (the MSM backends accept
         # them directly); only the group ops stay in point types.
         MOD = Scalar.MODULUS
-        s = [int(v) for v in s_sc]
-        s_inv = list(reversed(s))
         a, b = int(self.ipp_proof.a), int(self.ipp_proof.b)
         yv, zv, xv, wv = int(y), int(z), int(x), int(w)
         t_x, t_x_blinding, e_blinding = (
             int(self.t_x), int(self.t_x_blinding), int(self.e_blinding),
         )
-
-        # Random combination weight for the two verification equations.
-        c = int(t.challenge_scalar(b"c"))
-
-        y_inv = pow(yv, -1, MOD)
-        y_inv_pows = [1] * (n * m)
-        for i in range(1, n * m):
-            y_inv_pows[i] = y_inv_pows[i - 1] * y_inv % MOD
         zz = zv * zv % MOD
-        # concat of z^{2+j} 2^i over blocks
-        z_and_2 = [0] * (n * m)
-        exp_z = zz
-        for j in range(m):
-            exp_2 = exp_z
-            for i in range(n):
-                z_and_2[j * n + i] = exp_2
-                exp_2 = exp_2 * 2 % MOD
-            exp_z = exp_z * zv % MOD
 
-        g_scalars = [(-zv - a * s_i) % MOD for s_i in s]
-        h_scalars = [
-            (zv + y_inv_pows[i] * (z_and_2[i] - b * s_inv[i])) % MOD
-            for i in range(n * m)
-        ]
+        from ...utils import native
+
+        if native.available():
+            # one native pass for the O(nm) vectors (s, y^-i, z^{2+j} 2^i)
+            challenges, challenges_inv = self.ipp_proof.replay_challenges(n * m, t)
+            c = int(t.challenge_scalar(b"c"))
+            y_inv = pow(yv, -1, MOD)
+            g_scalars, h_scalars, u_sq, u_inv_sq = native.rp_verify_vectors(
+                [int(u) for u in challenges],
+                [int(v) for v in challenges_inv],
+                y_inv, zv, a, b, n, m,
+            )
+        else:
+            u_sq, u_inv_sq, s_sc = self.ipp_proof.verification_scalars(n * m, t)
+            s = [int(v) for v in s_sc]
+            s_inv = list(reversed(s))
+            # Random combination weight for the two verification equations.
+            c = int(t.challenge_scalar(b"c"))
+
+            y_inv = pow(yv, -1, MOD)
+            y_inv_pows = [1] * (n * m)
+            for i in range(1, n * m):
+                y_inv_pows[i] = y_inv_pows[i - 1] * y_inv % MOD
+            # concat of z^{2+j} 2^i over blocks
+            z_and_2 = [0] * (n * m)
+            exp_z = zz
+            for j in range(m):
+                exp_2 = exp_z
+                for i in range(n):
+                    z_and_2[j * n + i] = exp_2
+                    exp_2 = exp_2 * 2 % MOD
+                exp_z = exp_z * zv % MOD
+
+            g_scalars = [(-zv - a * s_i) % MOD for s_i in s]
+            h_scalars = [
+                (zv + y_inv_pows[i] * (z_and_2[i] - b * s_inv[i])) % MOD
+                for i in range(n * m)
+            ]
 
         # delta(y, z) = (z - z^2) <1, y^{nm}> - sum_j z^{j+3} <1, 2^n>
         sum_y = int(sum_of_powers(y, n * m))

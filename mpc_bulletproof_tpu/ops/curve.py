@@ -29,24 +29,30 @@ _INF_FLAG = 0x40
 _NEG_FLAG = 0x80
 
 
+# Tonelli-Shanks constants for P (fixed): P-1 = _TS_Q * 2^_TS_S with _TS_Q
+# odd; _TS_CZ = z^_TS_Q for the smallest quadratic non-residue z.  Cached at
+# import so point decompression pays only the per-value exponentiations.
+_TS_Q = P - 1
+_TS_S = 0
+while _TS_Q % 2 == 0:
+    _TS_Q //= 2
+    _TS_S += 1
+_z = 2
+while pow(_z, (P - 1) // 2, P) != P - 1:
+    _z += 1
+_TS_CZ = pow(_z, _TS_Q, P)
+del _z
+
+
 def _sqrt_mod_p(a: int) -> int | None:
     """Tonelli-Shanks square root mod P (P-1 = 2^192 * odd)."""
     if a == 0:
         return 0
     if pow(a, (P - 1) // 2, P) != 1:
         return None
-    # P-1 = q * 2^s with q odd
-    q = P - 1
-    s = 0
-    while q % 2 == 0:
-        q //= 2
-        s += 1
-    # Find a quadratic non-residue z.
-    z = 2
-    while pow(z, (P - 1) // 2, P) != P - 1:
-        z += 1
+    q, s = _TS_Q, _TS_S
     m = s
-    c = pow(z, q, P)
+    c = _TS_CZ
     t = pow(a, q, P)
     r = pow(a, (q + 1) // 2, P)
     while t != 1:

@@ -536,7 +536,7 @@ def _redc(wide: jnp.ndarray, ctx) -> jnp.ndarray:
                 rows[i + k] = rows[i + k] + u * mr[k]
         rows[NLZ] = rows[NLZ] + carry
         res = jnp.stack(rows[NLZ:], axis=0)
-        return _sn_sweeps(res, NLZ, 3)
+        return _sn_sweeps(res, NLZ, 2)
     carry = jnp.zeros_like(w[0])
     for i in range(NLZ):
         c_i = w[i] + carry
@@ -547,7 +547,7 @@ def _redc(wide: jnp.ndarray, ctx) -> jnp.ndarray:
             axis=0,
         )
     res = jnp.concatenate([(w[NLZ] + carry)[None], w[NLZ + 1 :]], axis=0)
-    return _sn_sweeps(res, NLZ, 3)
+    return _sn_sweeps(res, NLZ, 2)
 
 
 def lazy_mul(a: jnp.ndarray, b: jnp.ndarray, ctx) -> jnp.ndarray:
@@ -558,7 +558,10 @@ def lazy_mul(a: jnp.ndarray, b: jnp.ndarray, ctx) -> jnp.ndarray:
     Montgomery form; host conversion multiplies by R / R^-1 for free.
     """
     a, b = _broadcast_batch(a, b)
-    wide = _sn_sweeps(conv_full(a, b), 2 * NLZ - 1, 3)
+    # 2 sweeps leave limbs within ~22 of [0, BASE) — safe for both the
+    # next convolution (column sums stay < 2^31) and REDC's congruence-
+    # based u extraction; the exact-SN third sweep is never needed here.
+    wide = _sn_sweeps(conv_full(a, b), 2 * NLZ - 1, 2)
     return _redc(wide, ctx)
 
 

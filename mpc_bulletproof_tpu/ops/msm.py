@@ -55,8 +55,10 @@ def select_window(n: int) -> int:
     2^(c-1) gathers for the suffix sums plus the same again in the
     reduction tree.)
     """
+    # c is capped at 14: the c=16 program at n=2^20 crosses the axon
+    # remote-compile payload limit for a ~1.07x model gain.
     best_c, best_cost = 5, None
-    for c in range(5, 17):
+    for c in range(5, 15):
         if FIELD_BITS % c > c - 2:
             # top window must stay within the signed bucket range [0, 2^(c-1)]
             # (FIELD_BITS % c == 0 or c-1 would let it reach ~2^c)

@@ -432,3 +432,40 @@ def commit_batch(values, blinds, B, B_blinding):
     lib.bp_commit_batch(_buf(v), _buf(b), n, _buf(bx), _buf(by),
                         _buf(b2x), _buf(b2y), _buf(ox), _buf(oy), _buf(oi))
     return _unpack_points(ox, oy, oi)
+
+
+def rp_verify_vectors(u_list, u_inv_list, y_inv, z, a, b, n, m):
+    """Range-proof verifier mega-check vectors in one native pass.
+
+    Returns ``(g_scalars, h_scalars, u_sq, u_inv_sq)`` as python-int lists
+    (canonical); the per-element derivation (s-vector, y^-i powers,
+    z^{2+j} 2^i terms) otherwise dominates verification at m=64.
+    """
+    lib = _lib()
+    if not getattr(lib, "_rpvv_ready", False):
+        u8p = ctypes.c_void_p
+        lib.bp_rp_verify_vectors.argtypes = (
+            [u8p, u8p, ctypes.c_size_t] + [u8p] * 4
+            + [ctypes.c_size_t] * 2 + [u8p] * 4
+        )
+        lib._rpvv_ready = True
+    lg = len(u_list)
+    nm = n * m
+    u_pk = _pack_scalars(u_list)
+    ui_pk = _pack_scalars(u_inv_list)
+    yinv_pk = _pack_scalars([y_inv])
+    z_pk = _pack_scalars([z])
+    a_pk = _pack_scalars([a])
+    b_pk = _pack_scalars([b])
+    out_g = np.zeros((nm, 32), np.uint8)
+    out_h = np.zeros((nm, 32), np.uint8)
+    out_usq = np.zeros((lg, 32), np.uint8)
+    out_uisq = np.zeros((lg, 32), np.uint8)
+    lib.bp_rp_verify_vectors(
+        _buf(u_pk), _buf(ui_pk), lg,
+        _buf(yinv_pk), _buf(z_pk), _buf(a_pk), _buf(b_pk),
+        n, m,
+        _buf(out_g), _buf(out_h), _buf(out_usq), _buf(out_uisq),
+    )
+    unpack = lambda arr: [int.from_bytes(row.tobytes(), "little") for row in arr]
+    return unpack(out_g), unpack(out_h), unpack(out_usq), unpack(out_uisq)

@@ -1176,12 +1176,14 @@ static void msm_run(const u8 *scalars, const u32 *indices,
             fe_local = fe52_table(pts);
             fe52_cache = fe_local.data();
         }
-        int c = msm_pick_c_ifma(k, nthreads);
+        // pool dispatch costs more than it buys on tiny MSMs — decide the
+        // effective parallelism first so the window picker models it
+        int eff_threads = (k < 256) ? 1 : nthreads;
+        int c = msm_pick_c_ifma(k, eff_threads);
         int windows = (252 + c - 1) / c;
         std::vector<Pt> window_sums(windows);
         int ngroups = (windows + 7) / 8;
-        int nt = nthreads < ngroups ? nthreads : ngroups;
-        if (k < 64) nt = 1;
+        int nt = eff_threads < ngroups ? eff_threads : ngroups;
         parallel_for((size_t)ngroups, nt, [&](size_t g) {
             int w0 = (int)g * 8;
             int nl = windows - w0 < 8 ? windows - w0 : 8;
@@ -2006,4 +2008,85 @@ extern "C" u64 bp_bench_pt_add(u64 iters) {
         q = t;
     }
     return q.X.v[0];
+}
+
+// ---- range-proof verifier scalar vectors -------------------------------
+// Derives the mega-check generator coefficient vectors in one native pass
+// (the per-element python-int loops dominated verification at m=64).
+// Inputs are canonical LE32; outputs likewise.
+//   s (inductive from u_sq), u_sq/u_inv_sq,
+//   g[i] = -(z + a * s[i])
+//   h[i] = z + y^-i * (z^{2+j} 2^{i mod n} - b * s_inv[i])
+extern "C" void bp_rp_verify_vectors(
+    const u8 *u_le, const u8 *u_inv_le, size_t lg,
+    const u8 *y_inv_le, const u8 *z_le,
+    const u8 *a_le, const u8 *b_le,
+    size_t n, size_t m,
+    u8 *out_g, u8 *out_h, u8 *out_u_sq, u8 *out_u_inv_sq)
+{
+    const size_t nm = n * m;
+    std::vector<Fr> usq(lg), uisq(lg);
+    Fr one;
+    {
+        u8 onebuf[32] = {1};
+        fr_from_bytes(one, onebuf);
+    }
+    Fr allinv = one;
+    for (size_t i = 0; i < lg; ++i) {
+        Fr u, ui;
+        fr_from_bytes(u, u_le + 32 * i);
+        fr_from_bytes(ui, u_inv_le + 32 * i);
+        fr_mul(usq[i], u, u);
+        fr_mul(uisq[i], ui, ui);
+        fr_to_bytes(out_u_sq + 32 * i, usq[i]);
+        fr_to_bytes(out_u_inv_sq + 32 * i, uisq[i]);
+        Fr t;
+        fr_mul(t, allinv, ui);
+        allinv = t;
+    }
+
+    std::vector<Fr> s(nm);
+    s[0] = allinv;
+    for (size_t i = 1; i < nm; ++i) {
+        int lg_i = 63 - __builtin_clzll((u64)i);
+        size_t k = (size_t)1 << lg_i;
+        fr_mul(s[i], s[i - k], usq[lg - 1 - (size_t)lg_i]);
+    }
+
+    Fr yinv, z, a, b;
+    fr_from_bytes(yinv, y_inv_le);
+    fr_from_bytes(z, z_le);
+    fr_from_bytes(a, a_le);
+    fr_from_bytes(b, b_le);
+    Fr zz;
+    fr_mul(zz, z, z);
+    Fr two;
+    fr_add(two, one, one);
+    const Fr zero = {{0, 0, 0, 0}};
+
+    Fr yip = one;    // y^-idx, global index
+    Fr exp_z = zz;   // z^{2+j}
+    for (size_t j = 0; j < m; ++j) {
+        Fr exp2 = exp_z;  // z^{2+j} * 2^i
+        for (size_t i = 0; i < n; ++i) {
+            const size_t idx = j * n + i;
+            Fr t1, t2, t3, g, h;
+            // g = -(z + a * s[idx])
+            fr_mul(t1, a, s[idx]);
+            fr_add(t2, z, t1);
+            fr_sub(g, zero, t2);
+            fr_to_bytes(out_g + 32 * idx, g);
+            // h = z + yip * (exp2 - b * s[nm-1-idx])
+            fr_mul(t1, b, s[nm - 1 - idx]);
+            fr_sub(t2, exp2, t1);
+            fr_mul(t3, yip, t2);
+            fr_add(h, z, t3);
+            fr_to_bytes(out_h + 32 * idx, h);
+            fr_mul(exp2, exp2, two);
+            fr_mul(yip, yip, yinv);
+        }
+        Fr t;
+        fr_mul(t, exp_z, z);
+        exp_z = t;
+    }
 }
