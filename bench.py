@@ -25,6 +25,14 @@ import subprocess
 import sys
 import time
 
+# Persistent compile cache: Mosaic kernels and fused-prover programs are
+# expensive to compile (minutes through the axon remote-compile tunnel);
+# cache them across processes and rounds.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -58,6 +66,7 @@ from mpc_bulletproof_tpu import BulletproofGens, HashChainTranscript, PedersenGe
 from mpc_bulletproof_tpu.models.range_proof import RangeProof
 from mpc_bulletproof_tpu.models.range_proof.fused_device import prove_multiple_device
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", {repo!r} + "/.jax_cache")
 n_bits, m, reps = {n_bits}, {m}, {reps}
 pc = PedersenGens()
 bp = BulletproofGens(n_bits, m)
@@ -191,7 +200,8 @@ def main():
     if transfers_ok and os.environ.get("BENCH_SKIP_DEVICE") != "1":
         dev_msm_n = int(os.environ.get("BENCH_DEV_MSM_N", "262144"))
         code = (
-            "import sys, time; sys.path.insert(0, %r)\n"
+            "import os, sys, time; sys.path.insert(0, %r)\n"
+            "os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', sys.path[0] + '/.jax_cache')\n"
             "import numpy as np, jax, jax.numpy as jnp\n"
             "from mpc_bulletproof_tpu.ops import msm, kernels\n"
             "from mpc_bulletproof_tpu.ops.limb import NL, NLZ\n"
