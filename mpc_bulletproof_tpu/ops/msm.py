@@ -231,11 +231,192 @@ def _reduce_sum(pts: jnp.ndarray) -> jnp.ndarray:
     return total
 
 
+# ---------------------------------------------------------------------------
+# Proof-scale MSM (n <= _PERM_MAX): sort/gather on the MXU
+# ---------------------------------------------------------------------------
+#
+# The serial path below pays, per window, an argsort over n lanes and a
+# 63-row dynamic gather — on a TPU both are far more expensive than the
+# point additions they arrange.  For proof-scale widths (every prover/
+# verifier MSM: IPP rounds at n+1, commitment MSMs at 2nm+1) the reorder is
+# instead computed with dense one-hot algebra that rides the MXU:
+#
+# * **ranks without sort**: digits are c-bit values, so a stable sort rank
+#   is counting: rank_j = (# keys < k_j) + (# earlier ties).  Both terms
+#   come from the (n, B) one-hot matrix of the digits — a column cumsum and
+#   a row dot — O(n*B) instead of an O(n log^2 n) bitonic sort.
+# * **gather as a permutation matmul**: reordering 65 int32 rows by rank is
+#   rows @ P with P the (n, n) 0/1 permutation matrix.  Limbs are split
+#   into 7-bit halves so every operand is exact in bfloat16, and each
+#   output column receives exactly one nonzero product — the f32
+#   accumulation is exact.  Two (rows, n) x (n, n) MXU matmuls replace the
+#   dynamic gather.
+# * **window batching**: the per-window scans/bucket phases then run over a
+#   (nw, n) trailing block — one tree, full lane utilization, no serial
+#   window loop; bucket boundary positions fall out of the one-hot counts
+#   (cumsum) so searchsorted disappears too.
+#
+# Above _PERM_MAX the (n, n) permutation matrix is no longer worth its
+# bandwidth and the serial sort path below takes over.
+
+_PERM_MAX = 12288
+
+
+def _rank_by_digit(keys: jnp.ndarray, B: int):
+    """Stable ascending sort ranks for ``(n,)`` int keys in [0, B).
+
+    Returns ``(rank, counts)``: ``rank[j]`` is the sorted position of key j
+    (ties by index), ``counts[v]`` the number of keys equal to v.
+    """
+    oh = (keys[:, None] == jnp.arange(B, dtype=keys.dtype)[None, :]).astype(
+        jnp.int32
+    )  # (n, B)
+    counts = jnp.sum(oh, axis=0)  # (B,)
+    below = jnp.cumsum(counts) - counts  # keys strictly less than v
+    run = jnp.cumsum(oh, axis=0) - oh  # earlier ties, exclusive
+    rank = jnp.sum(oh * (below[None, :] + run), axis=1)
+    return rank, counts
+
+
+def _permute_columns(rows: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """Reorder ``(k, n)`` int32 columns so output column ``rank[j]`` is input
+    column j.  Values must lie in (-2^14, 2^14) (SN limbs / digits do).
+
+    Exact MXU form: 7-bit low/high splits (both exact in bf16; arithmetic
+    shift keeps negatives consistent) against the 0/1 permutation matrix;
+    each output element is a single product, so f32 accumulation is exact.
+    """
+    n = rows.shape[-1]
+    perm = (rank[:, None] == jnp.arange(n, dtype=rank.dtype)[None, :]).astype(
+        jnp.bfloat16
+    )  # (n_src, n_dst)
+    lo = (rows & 0x7F).astype(jnp.bfloat16)
+    hi = (rows >> 7).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    out_lo = jax.lax.dot_general(lo, perm, dims, preferred_element_type=jnp.float32)
+    out_hi = jax.lax.dot_general(hi, perm, dims, preferred_element_type=jnp.float32)
+    return (out_hi.astype(jnp.int32) << 7) + out_lo.astype(jnp.int32)
+
+
+def _point_op_flat(op, *pts4):
+    """Apply a (3, NLZ, lanes) point kernel over (3, NLZ, nw, w) batches."""
+    nw, w = pts4[0].shape[-2], pts4[0].shape[-1]
+    flat = [p.reshape(*p.shape[:-2], nw * w) for p in pts4]
+    return op(*flat).reshape(*pts4[0].shape[:-1], w)
+
+
+def _scan_batched(pts4: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix point-sum along the LAST axis of a (3, NLZ, nw, n)
+    batch — each window scanned independently, all windows in one kernel."""
+    nw = pts4.shape[-2]
+    if _compile_friendly():
+        # Hillis-Steele along the last axis (one point-add instance).
+        n = pts4.shape[-1]
+        levels = (n - 1).bit_length() if n > 1 else 0
+        shifts = jnp.asarray([1 << k for k in range(levels)], dtype=jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        ident = jnp.broadcast_to(cj.identity((1, 1)), pts4.shape)
+
+        def body(x, sh):
+            src = jnp.clip(idx - sh, 0)
+            shifted = cj._point_select(
+                (idx < sh)[None], ident, jnp.take(x, src, axis=-1)
+            )
+            return _point_op_flat(kernels.point_add, x, shifted), None
+
+        out, _ = jax.lax.scan(body, pts4, shifts)
+        return out
+    n = pts4.shape[-1]
+    if n == 1:
+        return pts4
+    if n % 2:
+        pts4 = jnp.concatenate([pts4, cj.identity((nw, 1))], axis=-1)
+    pairs = _point_op_flat(kernels.point_add, pts4[..., 0::2], pts4[..., 1::2])
+    sp = _scan_batched(pairs)
+    shifted = jnp.concatenate([cj.identity((nw, 1)), sp[..., :-1]], axis=-1)
+    evens = _point_op_flat(kernels.point_add, shifted, pts4[..., 0::2])
+    out = jnp.stack([evens, sp], axis=-1).reshape(
+        *pts4.shape[:-1], pts4.shape[-1]
+    )
+    return out[..., :n]
+
+
+def _reduce_batched(pts4: jnp.ndarray) -> jnp.ndarray:
+    """Point sum along the last axis of (3, NLZ, nw, w) -> (3, NLZ, nw)."""
+    nw = pts4.shape[-2]
+    w = pts4.shape[-1]
+    while w > 1:
+        half = (w + 1) // 2
+        if 2 * half != w:
+            pts4 = jnp.concatenate([pts4, cj.identity((nw, 2 * half - w))], axis=-1)
+        pts4 = _point_op_flat(kernels.point_add, pts4[..., :half], pts4[..., half:])
+        w = half
+    return pts4[..., 0]
+
+
+def _msm_batched_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int):
+    """MSM with MXU reorder + window-batched bucket phase (n <= _PERM_MAX)."""
+    n = scalars.shape[-1]
+    B = (1 << (c - 1)) + 1
+    rows_nlz = points.shape[1]
+
+    digits = _signed_digits(scalars, c)  # (nw, n)
+    keys = jnp.abs(digits)
+    negs = (digits < 0).astype(jnp.int32)
+    pts_rows = points.reshape(3 * rows_nlz, n)
+
+    def reorder_one(_, inputs):
+        k_w, neg_w = inputs
+        rank, counts = _rank_by_digit(k_w, B)
+        rows = jnp.concatenate([pts_rows, neg_w[None]], axis=0)
+        out = _permute_columns(rows, rank)
+        return None, (out, counts)
+
+    _, (sorted_rows, counts) = jax.lax.scan(reorder_one, None, (keys, negs))
+    # sorted_rows: (nw, 3*NLZ + 1, n); counts: (nw, B)
+    pts4 = jnp.moveaxis(sorted_rows[:, : 3 * rows_nlz], 0, -2).reshape(
+        3, rows_nlz, digits.shape[0], n
+    )
+    neg4 = sorted_rows[:, 3 * rows_nlz]  # (nw, n)
+    pts4 = cj._point_select(neg4 != 0, _point_op_flat(kernels.point_neg, pts4), pts4)
+
+    cumsum = _scan_batched(pts4)  # (3, NLZ, nw, n)
+    total = cumsum[..., -1:]
+    # bucket boundary positions from the one-hot counts: last index with
+    # digit <= t is cumsum(counts)[t] - 1
+    ends = jnp.cumsum(counts, axis=-1)  # (nw, B)
+    pos = ends[:, : B - 1] - 1  # (nw, B-1) for targets 0..B-2
+    valid = pos >= 0
+    cums = jnp.take_along_axis(
+        cumsum, jnp.clip(pos, 0)[None, None], axis=-1
+    )  # (3, NLZ, nw, B-1)
+    cums = cj._point_select(
+        ~valid, jnp.broadcast_to(cj.identity((1, 1)), cums.shape), cums
+    )
+    s_vals = _point_op_flat(
+        kernels.point_add,
+        jnp.broadcast_to(total, cums.shape),
+        _point_op_flat(kernels.point_neg, cums),
+    )
+    window_sums = jnp.moveaxis(_reduce_batched(s_vals), -1, 0)  # (nw, 3, NLZ)
+
+    def horner_body(acc, w_sum):
+        for _ in range(c):
+            acc = kernels.point_add(acc, acc)
+        acc = kernels.point_add(acc, w_sum[..., None])
+        return acc, None
+
+    acc, _ = jax.lax.scan(horner_body, cj.identity((1,)), window_sums, reverse=True)
+    return acc[..., 0]
+
+
 def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = None):
     """MSM over ``(NL, n)`` scalars and ``(3, NL, n)`` points -> ``(3, NL)``."""
     n = scalars.shape[-1]
     if c is None:
         c = select_window(n)
+    if 1 < n <= _PERM_MAX:
+        return _msm_batched_impl(scalars, points, c)
     B = (1 << (c - 1)) + 1  # signed buckets: |digit| in [0, 2^(c-1)]
 
     digits = _signed_digits(scalars, c)  # (nw, n) in [-2^(c-1), 2^(c-1)]
