@@ -143,6 +143,58 @@ def point_double(a: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# grid-sequential prefix scan — the MSM bucket-phase workhorse
+# ---------------------------------------------------------------------------
+
+def _pscan_kernel(m_ref, b3_ref, k8_ref, k16_ref, k32_ref, x_ref, o_ref, carry_ref):
+    ctx = _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref)
+    i = pl.program_id(0)
+    x = x_ref[...].reshape(3, NLZ, x_ref.shape[-1])
+
+    @pl.when(i == 0)
+    def _first():
+        carry_ref[...] = x
+
+    @pl.when(i > 0)
+    def _rest():
+        carry_ref[...] = curve_jax._point_add(carry_ref[...], x, ctx)
+
+    o_ref[...] = carry_ref[...].reshape(o_ref.shape)
+
+
+@jax.jit
+def point_scan_steps(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix point-sum along axis 1 of a ``(3, T, NLZ, L)`` batch.
+
+    ONE pallas program whose grid walks the T step axis sequentially with
+    the running prefix held in VMEM scratch: n point-adds total (work
+    optimal — half the halving tree's 2n) and zero inter-level XLA glue,
+    which on this backend is HBM-bound and costs more than the adds.  The
+    L lanes are independent scans; callers lay out (windows x chunks)
+    there and fix up chunk offsets separately (see ops/msm.py).
+    """
+    _, T, _, L0 = x.shape
+    if L0 % 128:
+        L = (L0 + 127) // 128 * 128
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, L - L0)])
+    else:
+        L = L0
+    spec = pl.BlockSpec(
+        (3, 1, NLZ, L), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _pscan_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+        grid=(T,),
+        in_specs=_curve_specs(L) + [spec],
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((3, NLZ, L), jnp.int32)],
+        interpret=_interpret(),
+    )(*_curve_operands(L), x)
+    return out[..., :L0]
+
+
+# ---------------------------------------------------------------------------
 # scalar-field vector kernels
 # ---------------------------------------------------------------------------
 

@@ -354,6 +354,94 @@ def _reduce_batched(pts4: jnp.ndarray) -> jnp.ndarray:
     return pts4[..., 0]
 
 
+def _chunk_shape(W: int, n: int) -> tuple[int, int]:
+    """Pick (chunks-per-window, steps): lanes ``W*nt`` near 2048-4096 keeps
+    each scan step VPU-wide; ``T = ceil(n/nt)`` sequential grid steps."""
+    nt = 1
+    while W * nt < 2048 and nt < n:
+        nt *= 2
+    return nt, -(-n // nt)
+
+
+def _windowed_bucket_sums(pts4: jnp.ndarray, pos: jnp.ndarray, B: int) -> jnp.ndarray:
+    """Bucket phase over ``W`` windows at once -> per-window sums.
+
+    ``pts4``: ``(3, NLZ, W, n)`` digit-sorted, sign-applied points.
+    ``pos``: ``(W, B-1)`` sorted index of the last element with |digit| <= t
+    for targets t = 0..B-2 (may be -1 when empty).
+
+    Window value = sum_t (total - prefix[pos_t]) — the running-sum identity.
+    On TPU the prefix runs as the grid-sequential pallas scan over contiguous
+    chunks (``kernels.point_scan_steps``): work-optimal n adds, no XLA glue;
+    chunk base offsets are fixed up only at the B-1 gathered boundaries.  On
+    interpreter backends the one-instance Hillis-Steele scan keeps compile
+    time sane.  Returns ``(W, 3, NLZ)`` (most-significant window last).
+    """
+    _, rows_nlz, W, n = pts4.shape
+    valid = pos >= 0
+    posc = jnp.clip(pos, 0)
+
+    if _compile_friendly():
+        cumsum = _scan_batched(pts4)  # (3, NLZ, W, n)
+        total = cumsum[..., -1]  # (3, NLZ, W)
+        cums = jnp.take_along_axis(cumsum, posc[None, None], axis=-1)
+    else:
+        nt, T = _chunk_shape(W, n)
+        n2 = nt * T
+        if n2 != n:
+            pts4 = jnp.concatenate(
+                [pts4, jnp.broadcast_to(cj.identity((1, 1)), (3, rows_nlz, W, n2 - n))],
+                axis=-1,
+            )
+        # sorted position p = chunk*T + step: contiguous chunks on lanes,
+        # steps on the sequential grid axis.
+        x5 = pts4.reshape(3, rows_nlz, W, nt, T)
+        x = jnp.transpose(x5, (0, 4, 1, 2, 3)).reshape(3, T, rows_nlz, W * nt)
+        prefix = kernels.point_scan_steps(x)
+        prefix5 = prefix.reshape(3, T, rows_nlz, W, nt)
+        # chunk totals -> exclusive per-window chunk offsets (second, tiny scan)
+        ct = prefix5[:, -1]  # (3, NLZ, W, nt)
+        off_in = kernels.point_scan_steps(jnp.transpose(ct, (0, 3, 1, 2)))
+        total = off_in[:, -1]  # (3, NLZ, W)
+        offex = jnp.concatenate(
+            [cj.identity((W,))[:, None], off_in[:, :-1]], axis=1
+        )  # (3, nt, NLZ, W) exclusive offsets
+        # gather the B-1 boundary prefixes and add their chunk offsets
+        cpos = posc // T
+        r = posc % T
+        w_col = jnp.arange(W, dtype=pos.dtype)[:, None]
+        within = prefix5[:, r, :, w_col, cpos]  # (W, B-1, 3, NLZ)
+        within = jnp.transpose(within, (2, 3, 0, 1))  # (3, NLZ, W, B-1)
+        offsel = offex[:, cpos, :, w_col]  # (W, B-1, 3, NLZ)
+        offsel = jnp.transpose(offsel, (2, 3, 0, 1))
+        cums = _point_op_flat(kernels.point_add, within, offsel)
+
+    cums = cj._point_select(
+        ~valid, jnp.broadcast_to(cj.identity((1, 1)), cums.shape), cums
+    )
+    s_vals = _point_op_flat(
+        kernels.point_add,
+        jnp.broadcast_to(total[..., None], cums.shape),
+        _point_op_flat(kernels.point_neg, cums),
+    )
+    return jnp.moveaxis(_reduce_batched(s_vals), -1, 0)  # (W, 3, NLZ)
+
+
+def _horner_windows(window_sums: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Combine ``(nw, 3, NLZ)`` window sums: c doublings + 1 add per window."""
+
+    def horner_body(acc, w_sum):
+        for _ in range(c):
+            acc = kernels.point_add(acc, acc)
+        acc = kernels.point_add(acc, w_sum[..., None])
+        return acc, None
+
+    acc, _ = jax.lax.scan(
+        horner_body, cj.identity((1,)), window_sums, reverse=True
+    )
+    return acc[..., 0]
+
+
 def _msm_batched_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int):
     """MSM with MXU reorder + window-batched bucket phase (n <= _PERM_MAX)."""
     n = scalars.shape[-1]
@@ -380,34 +468,11 @@ def _msm_batched_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int):
     neg4 = sorted_rows[:, 3 * rows_nlz]  # (nw, n)
     pts4 = cj._point_select(neg4 != 0, _point_op_flat(kernels.point_neg, pts4), pts4)
 
-    cumsum = _scan_batched(pts4)  # (3, NLZ, nw, n)
-    total = cumsum[..., -1:]
-    # bucket boundary positions from the one-hot counts: last index with
-    # digit <= t is cumsum(counts)[t] - 1
+    # boundary positions from the one-hot counts
     ends = jnp.cumsum(counts, axis=-1)  # (nw, B)
     pos = ends[:, : B - 1] - 1  # (nw, B-1) for targets 0..B-2
-    valid = pos >= 0
-    cums = jnp.take_along_axis(
-        cumsum, jnp.clip(pos, 0)[None, None], axis=-1
-    )  # (3, NLZ, nw, B-1)
-    cums = cj._point_select(
-        ~valid, jnp.broadcast_to(cj.identity((1, 1)), cums.shape), cums
-    )
-    s_vals = _point_op_flat(
-        kernels.point_add,
-        jnp.broadcast_to(total, cums.shape),
-        _point_op_flat(kernels.point_neg, cums),
-    )
-    window_sums = jnp.moveaxis(_reduce_batched(s_vals), -1, 0)  # (nw, 3, NLZ)
-
-    def horner_body(acc, w_sum):
-        for _ in range(c):
-            acc = kernels.point_add(acc, acc)
-        acc = kernels.point_add(acc, w_sum[..., None])
-        return acc, None
-
-    acc, _ = jax.lax.scan(horner_body, cj.identity((1,)), window_sums, reverse=True)
-    return acc[..., 0]
+    window_sums = _windowed_bucket_sums(pts4, pos, B)
+    return _horner_windows(window_sums, c)
 
 
 def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = None):

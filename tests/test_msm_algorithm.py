@@ -111,3 +111,22 @@ def test_msm_algorithm_edge_cases():
 
 def test_select_window_monotone():
     assert 5 <= select_window(16) <= select_window(1 << 20) <= 16
+
+
+def test_msm_pallas_branch_interpret(monkeypatch):
+    """Force the TPU (pallas grid-scan) bucket phase through the interpreter.
+
+    ``_compile_friendly()`` normally routes CPU runs around
+    ``kernels.point_scan_steps``; monkeypatching it exercises the
+    grid-sequential scan + chunk-offset fix-up exactly as compiled on TPU
+    (interpret mode runs the same kernel body).
+    """
+    from mpc_bulletproof_tpu.ops import msm as msm_mod
+
+    monkeypatch.setattr(msm_mod, "_compile_friendly", lambda: False)
+    g = StarkPoint.generator()
+    n = 24
+    pts = [g.scalar_mul(Scalar(rng.getrandbits(260))) for _ in range(n)]
+    scalars = [Scalar(rng.getrandbits(252)) for _ in range(n)]
+    got = msm_mod.msm_host_points(scalars, pts, 5)
+    assert got == StarkPoint.msm(scalars, pts)
