@@ -25,13 +25,16 @@ Design (TPU-first, branchless):
 
    so the whole bucket phase is one scan, one gather, one batched
    subtract-add, and one tree reduction — all complete-formula point adds
-   (:mod:`.kernels`), ~``2n + 2^c`` adds per window.
+   (:mod:`.kernels`), ~``n + 2^c`` adds per window.
 3. **Window combination**: Horner over windows, ``c`` doublings + 1 add per
    window (``lax.scan`` so the graph stays small).
 
-The prefix scan is a halving tree (2n work, log n depth), not Hillis-Steele
-(n log n): on a VPU both cost the same per level, but the tree's level
-widths shrink geometrically.
+The prefix scan is the grid-sequential pallas kernel
+:func:`.kernels.point_scan_steps`: lanes hold (windows x chunks), the grid
+walks chunk-local positions with the running prefix in VMEM scratch — n
+adds total (work-optimal) with no inter-kernel XLA glue, which on TPU is
+HBM-bound and costs more than the adds themselves.  Chunk base offsets are
+folded in only at the gathered bucket boundaries.
 """
 
 from __future__ import annotations
@@ -49,11 +52,11 @@ FIELD_BITS = 252
 
 
 def select_window(n: int) -> int:
-    """Pick the signed-digit window size minimizing ~windows*(2n + 2^c).
+    """Pick the signed-digit window size minimizing ~windows*(n + 2^c).
 
-    (With signed digits the per-window bucket term is 2*2^(c-1) = 2^c:
-    2^(c-1) gathers for the suffix sums plus the same again in the
-    reduction tree.)
+    (The grid-scan bucket phase costs n adds per window; the signed-bucket
+    boundary term is 2*2^(c-1) = 2^c: 2^(c-1) gathers for the suffix sums
+    plus the same again in the reduction tree.)
     """
     # c is capped at 14: the c=16 program at n=2^20 crosses the axon
     # remote-compile payload limit for a ~1.07x model gain.
@@ -64,7 +67,7 @@ def select_window(n: int) -> int:
             # (FIELD_BITS % c == 0 or c-1 would let it reach ~2^c)
             continue
         windows = -(-FIELD_BITS // c)
-        cost = windows * (2 * n + (1 << c))
+        cost = windows * (n + (1 << c))
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -124,25 +127,6 @@ def _compile_friendly() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _inclusive_scan_tree(pts: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix point-sum along the lane axis (halving tree, 2n adds).
-
-    Handles any length (odd levels pad one identity), so MSM widths need no
-    power-of-two padding.
-    """
-    n = pts.shape[-1]
-    if n == 1:
-        return pts
-    if n % 2:
-        pts = jnp.concatenate([pts, cj.identity((1,))], axis=-1)
-    pairs = kernels.point_add(pts[..., 0::2], pts[..., 1::2])
-    sp = _inclusive_scan_tree(pairs)  # prefix sums of pairs
-    shifted = jnp.concatenate([cj.identity((1,)), sp[..., :-1]], axis=-1)
-    evens = kernels.point_add(shifted, pts[..., 0::2])
-    out = jnp.stack([evens, sp], axis=-1).reshape(*pts.shape[:-1], pts.shape[-1])
-    return out[..., :n]
-
-
 def _inclusive_scan_hs(pts: jnp.ndarray) -> jnp.ndarray:
     """Hillis-Steele prefix point-sum: ONE point-add instance scanned over
     ceil(log2 n) shift levels.
@@ -166,37 +150,6 @@ def _inclusive_scan_hs(pts: jnp.ndarray) -> jnp.ndarray:
     identity_n = cj.identity((n,))
     out, _ = jax.lax.scan(body, pts, shifts)
     return out
-
-
-def _inclusive_scan(pts: jnp.ndarray) -> jnp.ndarray:
-    """Prefix point-sum; large inputs run a ``lax.scan`` over fixed-width
-    chunks (carry folded into each chunk's first element) so the compiled
-    program size is O(log CHUNK), not O(log n) distinct kernel shapes —
-    big-n programs otherwise blow past compile-payload limits (and compile
-    minutes) with one Mosaic kernel copy per tree level."""
-    if _compile_friendly():
-        return _inclusive_scan_hs(pts)
-    n = pts.shape[-1]
-    if n <= _SCAN_CHUNK:
-        return _inclusive_scan_tree(pts)
-    k = -(-n // _SCAN_CHUNK)
-    pad = k * _SCAN_CHUNK - n
-    if pad:
-        pts = jnp.concatenate([pts, cj.identity((pad,))], axis=-1)
-    chunks = jnp.moveaxis(
-        pts.reshape(*pts.shape[:-1], k, _SCAN_CHUNK), -2, 0
-    )  # (k, 3, NLZ, CH)
-
-    def body(carry, chunk):
-        first = kernels.point_add(chunk[..., :1], carry)
-        local = _inclusive_scan_tree(
-            jnp.concatenate([first, chunk[..., 1:]], axis=-1)
-        )
-        return local[..., -1:], local
-
-    _, outs = jax.lax.scan(body, cj.identity((1,)), chunks)
-    out = jnp.moveaxis(outs, 0, -2).reshape(*pts.shape[:-1], k * _SCAN_CHUNK)
-    return out[..., :n]
 
 
 def _reduce_sum_tree(pts: jnp.ndarray) -> jnp.ndarray:
@@ -475,6 +428,19 @@ def _msm_batched_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int):
     return _horner_windows(window_sums, c)
 
 
+def _window_group(nw: int, n: int) -> int:
+    """Windows per serial-path scan step: the largest divisor of ``nw`` whose
+    group keeps the sorted-point + prefix tensors within ~3 GB of HBM
+    (``2 * 240 B * Wg * n``) — wide lanes for the grid scan, bounded
+    footprint at n = 2^20."""
+    budget = max(1, (1 << 22) // n)
+    best = 1
+    for d in range(1, nw + 1):
+        if nw % d == 0 and d <= budget:
+            best = d
+    return best
+
+
 def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = None):
     """MSM over ``(NL, n)`` scalars and ``(3, NL, n)`` points -> ``(3, NL)``."""
     n = scalars.shape[-1]
@@ -485,41 +451,29 @@ def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = 
     B = (1 << (c - 1)) + 1  # signed buckets: |digit| in [0, 2^(c-1)]
 
     digits = _signed_digits(scalars, c)  # (nw, n) in [-2^(c-1), 2^(c-1)]
+    nw = digits.shape[0]
     keys = jnp.abs(digits)
     order = jnp.argsort(keys, axis=-1)  # (nw, n)
     d_sorted = jnp.take_along_axis(keys, order, axis=-1)
     neg_sorted = jnp.take_along_axis(digits < 0, order, axis=-1)
+    wg = _window_group(nw, n)
+    grp = lambda a: a.reshape(nw // wg, wg, n)
 
-    def window_body(_, inputs):
-        order_w, d_w, neg_w = inputs
-        pts = points[:, :, order_w]
-        pts = cj._point_select(neg_w, kernels.point_neg(pts), pts)
-        cumsum = _inclusive_scan(pts)
-        total = cumsum[..., -1:]
+    def group_body(_, inputs):
+        order_g, d_g, neg_g = inputs  # (wg, n) each
+        pts = points[:, :, order_g]  # (3, NLZ, wg, n)
+        pts = cj._point_select(neg_g, _point_op_flat(kernels.point_neg, pts), pts)
         # cum_{j-1} for j = 1..B-1: last prefix position with digit <= j-1
-        targets = jnp.arange(0, B - 1, dtype=d_w.dtype)
-        pos = jnp.searchsorted(d_w, targets, side="right") - 1
-        valid = pos >= 0
-        cums = cumsum[:, :, jnp.clip(pos, 0)]
-        cums = cj._point_select(~valid, cj.identity((B - 1,)), cums)
-        s_vals = kernels.point_add(
-            jnp.broadcast_to(total, cums.shape), kernels.point_neg(cums)
-        )
-        win = _reduce_sum(s_vals)[..., 0]
-        return None, win
+        targets = jnp.arange(0, B - 1, dtype=d_g.dtype)
+        pos = jax.vmap(
+            lambda d: jnp.searchsorted(d, targets, side="right") - 1
+        )(d_g)
+        return None, _windowed_bucket_sums(pts, pos, B)  # (wg, 3, NLZ)
 
-    _, window_sums = jax.lax.scan(window_body, None, (order, d_sorted, neg_sorted))
-
-    # Horner over windows, most-significant first.
-    def horner_body(acc, w_sum):
-        for _ in range(c):
-            acc = kernels.point_add(acc, acc)
-        acc = kernels.point_add(acc, w_sum[..., None])
-        return acc, None
-
-    acc0 = cj.identity((1,))
-    acc, _ = jax.lax.scan(horner_body, acc0, window_sums, reverse=True)
-    return acc[..., 0]
+    _, wins = jax.lax.scan(
+        group_body, None, (grp(order), grp(d_sorted), grp(neg_sorted))
+    )
+    return _horner_windows(wins.reshape(nw, *wins.shape[2:]), c)
 
 
 def msm_host_points(scalars, points, c: int | None = None):
