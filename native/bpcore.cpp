@@ -1216,6 +1216,60 @@ static void msm_run(const u8 *scalars, const u32 *indices,
     msm_combine(window_sums.data(), windows, c, out_x, out_y, out_inf);
 }
 
+// Two same-size MSMs over one point table, all window groups of both sides
+// flattened onto the pool (the IPP's L/R pair: independent until both are
+// absorbed into the transcript, so their bucket phases share the cores
+// instead of running back to back).
+static void msm_run_pair(const u8 *sL, const u32 *idxL,
+                         const u8 *sR, const u32 *idxR,
+                         const std::vector<AffinePt> &pts, size_t k,
+                         u8 *Lx, u8 *Ly, u8 *Li,
+                         u8 *Rx, u8 *Ry, u8 *Ri,
+                         const u64 *fe52_cache = nullptr) {
+#ifdef BP_HAVE_IFMA
+    if (k >= 16) {
+        unsigned hw = std::thread::hardware_concurrency();
+        int nthreads = (int)(hw ? hw : 1);
+        std::vector<u64> fe_local;
+        if (!fe52_cache) {
+            fe_local = fe52_table(pts);
+            fe52_cache = fe_local.data();
+        }
+        // pick c for 2x the groups spread over all cores
+        int c = 8;
+        double best = 1e300;
+        for (int cc = 2; cc <= 18; ++cc) {
+            int windows = (252 + cc - 1) / cc;
+            int groups = 2 * ((windows + 7) / 8);
+            int span = (groups + nthreads - 1) / nthreads;
+            double cost = (double)span * ((double)k + 2.0 * (double)((u64)1 << cc));
+            if (cost < best) { best = cost; c = cc; }
+        }
+        int windows = (252 + c - 1) / c;
+        int ngroups = (windows + 7) / 8;
+        std::vector<Pt> wsL(windows), wsR(windows);
+        parallel_for((size_t)(2 * ngroups), nthreads, [&](size_t t) {
+            int g = (int)(t >> 1);
+            int w0 = g * 8;
+            int nl = windows - w0 < 8 ? windows - w0 : 8;
+            if ((t & 1) == 0)
+                msm_window_group_ifma(sL, idxL, pts, fe52_cache, k, c, w0, nl, wsL.data());
+            else
+                msm_window_group_ifma(sR, idxR, pts, fe52_cache, k, c, w0, nl, wsR.data());
+        });
+        parallel_for(2, 2, [&](size_t t) {
+            if (t == 0) msm_combine(wsL.data(), windows, c, Lx, Ly, Li);
+            else        msm_combine(wsR.data(), windows, c, Rx, Ry, Ri);
+        });
+        return;
+    }
+#endif
+    parallel_for(2, 2, [&](size_t t) {
+        if (t == 0) msm_run(sL, idxL, pts, k, Lx, Ly, Li, fe52_cache);
+        else        msm_run(sR, idxR, pts, k, Rx, Ry, Ri, fe52_cache);
+    });
+}
+
 static std::vector<AffinePt> load_affine(const u8 *xs, const u8 *ys,
                                          const u8 *inf, size_t n) {
     std::vector<AffinePt> pts(n);
@@ -1533,8 +1587,8 @@ extern "C" void bp_ipp_create(
         fr_from_bytes(bv[i], b_in + 32 * i);
     }
 
-    std::vector<u8> s_bytes(32 * (n + 1));
-    std::vector<u32> idx(n + 1);
+    std::vector<u8> sL_bytes(32 * (n + 1)), sR_bytes(32 * (n + 1));
+    std::vector<u32> idxL(n + 1), idxR(n + 1);
     size_t round = 0;
 #ifdef BP_HAVE_IFMA
     std::vector<u64> fe52 = fe52_table(pts);
@@ -1554,28 +1608,21 @@ extern "C" void bp_ipp_create(
         }
 
         u8 Lx[32], Ly[32], Li, Rx[32], Ry[32], Ri;
-        // L MSM
         for (size_t i = 0; i < n; ++i) {
             size_t r = i % cur;
             Fr s;
-            if (r >= half) { fr_mul(s, wG[i], av[r - half]); idx[i] = (u32)i; }
-            else           { fr_mul(s, wH[i], bv[half + r]); idx[i] = (u32)(n + i); }
-            fr_to_bytes(s_bytes.data() + 32 * i, s);
+            if (r >= half) { fr_mul(s, wG[i], av[r - half]); idxL[i] = (u32)i; }
+            else           { fr_mul(s, wH[i], bv[half + r]); idxL[i] = (u32)(n + i); }
+            fr_to_bytes(sL_bytes.data() + 32 * i, s);
+            if (r >= half) { fr_mul(s, wH[i], bv[r - half]); idxR[i] = (u32)(n + i); }
+            else           { fr_mul(s, wG[i], av[half + r]); idxR[i] = (u32)i; }
+            fr_to_bytes(sR_bytes.data() + 32 * i, s);
         }
-        fr_to_bytes(s_bytes.data() + 32 * n, c_L);
-        idx[n] = (u32)(2 * n);
-        msm_run(s_bytes.data(), idx.data(), pts, n + 1, Lx, Ly, &Li, fe52p);
-        // R MSM
-        for (size_t i = 0; i < n; ++i) {
-            size_t r = i % cur;
-            Fr s;
-            if (r >= half) { fr_mul(s, wH[i], bv[r - half]); idx[i] = (u32)(n + i); }
-            else           { fr_mul(s, wG[i], av[half + r]); idx[i] = (u32)i; }
-            fr_to_bytes(s_bytes.data() + 32 * i, s);
-        }
-        fr_to_bytes(s_bytes.data() + 32 * n, c_R);
-        idx[n] = (u32)(2 * n);
-        msm_run(s_bytes.data(), idx.data(), pts, n + 1, Rx, Ry, &Ri, fe52p);
+        fr_to_bytes(sL_bytes.data() + 32 * n, c_L);
+        fr_to_bytes(sR_bytes.data() + 32 * n, c_R);
+        idxL[n] = idxR[n] = (u32)(2 * n);
+        msm_run_pair(sL_bytes.data(), idxL.data(), sR_bytes.data(), idxR.data(),
+                     pts, n + 1, Lx, Ly, &Li, Rx, Ry, &Ri, fe52p);
 
         memcpy(out_lr_x + 64 * round, Lx, 32); memcpy(out_lr_x + 64 * round + 32, Rx, 32);
         memcpy(out_lr_y + 64 * round, Ly, 32); memcpy(out_lr_y + 64 * round + 32, Ry, 32);
