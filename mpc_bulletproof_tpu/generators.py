@@ -151,6 +151,30 @@ class BulletproofGens:
             )
         return self._pack_cache[key]
 
+    def split_table(self, n: int, m: int, pc_gens: "PedersenGens"):
+        """Native split MSM table over the fixed bases of an (n, m) proof:
+        ``[G_agg(n*m) | H_agg(n*m) | B | B_blinding]`` with precomputed
+        2^64/2^128/2^192 point shifts (64-bit scalar-chunk MSMs: the serial
+        window-combine chain shrinks 252 -> 64 doublings).  Cached per
+        (n, m, bases); serves both the IPP rounds (Q = w*B folds into the
+        scalar on base B) and the range-proof party S_j MSMs.
+
+        Returns ``(table, g_off, h_off, b_idx, bb_idx)`` or ``None`` when
+        the native core is unavailable."""
+        from .utils import native
+
+        if not native.available():
+            return None
+        key = (n, m, pc_gens.B.to_bytes(), pc_gens.B_blinding.to_bytes())
+        cached = self._pack_cache.get(("split", key))
+        if cached is None:
+            nm = n * m
+            points = self.G(n, m) + self.H(n, m) + [pc_gens.B, pc_gens.B_blinding]
+            table = native.PointTable(points, split=True)
+            cached = (table, 0, nm, 2 * nm, 2 * nm + 1)
+            self._pack_cache[("split", key)] = cached
+        return cached
+
     def as_mpc_values(self) -> "BulletproofGensShare":
         """View for the MPC provers (reference src/generators.rs:204-206).
 

@@ -57,7 +57,12 @@ class InnerProductProof:
         a_vec: list[Scalar],
         b_vec: list[Scalar],
         packed_gens=None,
+        table_ctx=None,
     ) -> "InnerProductProof":
+        """``table_ctx`` (optional): ``(table, g_off, h_off, q_idx, w)`` —
+        a native split generator table (BulletproofGens.split_table) plus
+        the scalar ``w`` with ``Q = w * table[q_idx]``; routes the prover
+        through 64-bit-chunk MSMs over precomputed base shifts."""
         n = len(G_vec)
         if not all(len(v) == n for v in (H_vec, a_vec, b_vec, G_factors, H_factors)):
             raise ValueError("IPP input vectors must share one length")
@@ -69,6 +74,14 @@ class InnerProductProof:
         if backend.use_device() and n >= 32:
             return _create_device_fused(
                 transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec
+            )
+        from ..utils import native
+
+        if table_ctx is not None and native.available() and n >= 8:
+            table, g_off, h_off, q_idx, w = table_ctx
+            return native.ipp_create_table(
+                transcript, table, w, G_factors, H_factors, a_vec, b_vec,
+                g_off, h_off, q_idx,
             )
         return _create_host(
             transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec,

@@ -251,23 +251,28 @@ class Prover(RandomizableConstraintSystem):
 
         use_packed = _native.available() and not backend.use_device()
         if use_packed:
+            # Split generator table [G(cap) | H(cap) | B | B_blinding] with
+            # precomputed 2^64-shift copies: every phase MSM and the IPP run
+            # with 64-bit scalar chunks (cached per gens/bases).
             cap = bp_gens.gens_capacity
-            (gx, gy, gi), (hx, hy, hi) = bp_gens.packed_aggregate(cap, 1)
-            bbx, bby, bbi = _native._pack_points([B_b])
-
-            def packed_msm(scalars, slices):
-                xs = _np.concatenate([bbx] + [s[0] for s in slices])
-                ys = _np.concatenate([bby] + [s[1] for s in slices])
-                inf = _np.concatenate([bbi] + [s[2] for s in slices])
-                return _native.msm_packed(scalars, xs, ys, inf)
-
-            gsl = lambda a, b: (gx[a:b], gy[a:b], gi[a:b])
-            hsl = lambda a, b: (hx[a:b], hy[a:b], hi[a:b])
-            A_I1 = packed_msm(
-                [i_blinding1] + self.a_L + self.a_R, [gsl(0, n1), hsl(0, n1)]
+            table, g_off, h_off, b_idx, bb_idx = bp_gens.split_table(
+                cap, 1, self.pc_gens
             )
-            A_O1 = packed_msm([o_blinding1] + self.a_O, [gsl(0, n1)])
-            S1 = packed_msm([s_blinding1] + s_L1 + s_R1, [gsl(0, n1), hsl(0, n1)])
+
+            gidx = lambda a, b: _np.arange(g_off + a, g_off + b, dtype=_np.uint32)
+            hidx = lambda a, b: _np.arange(h_off + a, h_off + b, dtype=_np.uint32)
+
+            def packed_msm(scalars, idx_groups):
+                idx = _np.concatenate(
+                    [_np.asarray([bb_idx], dtype=_np.uint32)] + list(idx_groups)
+                )
+                return table.msm(scalars, idx)
+
+            A_I1 = packed_msm(
+                [i_blinding1] + self.a_L + self.a_R, [gidx(0, n1), hidx(0, n1)]
+            )
+            A_O1 = packed_msm([o_blinding1] + self.a_O, [gidx(0, n1)])
+            S1 = packed_msm([s_blinding1] + s_L1 + s_R1, [gidx(0, n1), hidx(0, n1)])
         else:
             A_I1 = _msm(
                 [i_blinding1] + self.a_L + self.a_R,
@@ -303,11 +308,11 @@ class Prover(RandomizableConstraintSystem):
             if use_packed:
                 A_I2 = packed_msm(
                     [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
-                    [gsl(n1, n), hsl(n1, n)],
+                    [gidx(n1, n), hidx(n1, n)],
                 )
-                A_O2 = packed_msm([o_blinding2] + self.a_O[n1:], [gsl(n1, n)])
+                A_O2 = packed_msm([o_blinding2] + self.a_O[n1:], [gidx(n1, n)])
                 S2 = packed_msm(
-                    [s_blinding2] + s_L2 + s_R2, [gsl(n1, n), hsl(n1, n)]
+                    [s_blinding2] + s_L2 + s_R2, [gidx(n1, n), hidx(n1, n)]
                 )
             else:
                 A_I2 = _msm(
@@ -440,13 +445,13 @@ class Prover(RandomizableConstraintSystem):
         G_factors = [1] * n1 + [uv] * (n2 + pad)
         H_factors = [yi * uf % MOD for yi, uf in zip(exp_y_inv, G_factors)]
 
-        ipp_packed = (
-            (gsl(0, padded_n), hsl(0, padded_n)) if use_packed else None
+        ipp_table_ctx = (
+            (table, g_off, h_off, b_idx, w) if use_packed else None
         )
         ipp_proof = InnerProductProof.create(
             t, Q, G_factors, H_factors,
             gens.G(padded_n), gens.H(padded_n), l_vec, r_vec,
-            packed_gens=ipp_packed,
+            table_ctx=ipp_table_ctx,
         )
 
         return R1CSProof(

@@ -431,12 +431,20 @@ def _prove_multiple_native(dealer, bp_gens, pc_gens, values, blindings, n):
     V = pc_gens.commit_batch([Scalar(v) for v in values], list(blindings))
     ab_pts = native.fixed_base_mul([Scalar(x) for x in a_blinds], pc_gens.B_blinding)
     ab_pack = native._pack_points(ab_pts)
-    g_pack, h_pack = bp_gens.packed_aggregate(n, m)
 
-    A_list, S_list = native.rp_phase1(
-        m, n, values, sb_pack, sL_pack, sR_pack, g_pack, h_pack, ab_pack,
-        pc_gens.B_blinding,
-    )
+    split = bp_gens.split_table(n, m, pc_gens)
+    if split is not None:
+        table, g_off, h_off, _b, bb_idx = split
+        A_list, S_list = native.rp_phase1_table(
+            m, n, values, sb_pack, sL_pack, sR_pack,
+            table, g_off, h_off, bb_idx, ab_pack,
+        )
+    else:
+        g_pack, h_pack = bp_gens.packed_aggregate(n, m)
+        A_list, S_list = native.rp_phase1(
+            m, n, values, sb_pack, sL_pack, sR_pack, g_pack, h_pack, ab_pack,
+            pc_gens.B_blinding,
+        )
     bcs = [BitCommitment(V[j], A_list[j], S_list[j]) for j in range(m)]
     dealer, bit_challenge = dealer.receive_bit_commitments(bcs)
     y, z = bit_challenge.y, bit_challenge.z

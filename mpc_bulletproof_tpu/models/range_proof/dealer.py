@@ -161,11 +161,15 @@ class DealerAwaitingProofShares:
 
         from ...utils import native
 
-        packed = (
-            self.bp_gens.packed_aggregate(n, m) if native.available() else None
-        )
+        table_ctx = None
+        if native.available():
+            split = self.bp_gens.split_table(n, m, self.pc_gens)
+            if split is not None:
+                table, g_off, h_off, b_idx, _bb = split
+                table_ctx = (table, g_off, h_off, b_idx, w)
         ipp_proof = InnerProductProof.create(
-            t, Q, G_factors, H_factors, G, H, l_vec, r_vec, packed_gens=packed
+            t, Q, G_factors, H_factors, G, H, l_vec, r_vec,
+            table_ctx=table_ctx,
         )
 
         return RangeProof(

@@ -38,6 +38,8 @@ def _lib():
     lib.bp_msm.argtypes = [u8p] * 4 + [ctypes.c_size_t] + [u8p] * 3
     lib.bp_points_new.argtypes = [u8p, u8p, u8p, ctypes.c_size_t]
     lib.bp_points_new.restype = ctypes.c_void_p
+    lib.bp_points_new_split.argtypes = [u8p, u8p, u8p, ctypes.c_size_t]
+    lib.bp_points_new_split.restype = ctypes.c_void_p
     lib.bp_points_free.argtypes = [ctypes.c_void_p]
     lib.bp_msm_indexed.argtypes = [
         ctypes.c_void_p, u8p, ctypes.c_void_p, ctypes.c_size_t,
@@ -202,14 +204,21 @@ def point_add_batch(a_points, b_points):
 class PointTable:
     """A point set registered with the native core for repeated indexed MSMs
     (e.g. the fixed G/H generator vectors of an IPP: pack and convert to
-    Montgomery form once, select per round by index)."""
+    Montgomery form once, select per round by index).
 
-    def __init__(self, points):
+    With ``split=True`` the table also precomputes the 2^64/2^128/2^192
+    shifts of every point, so MSMs run with four 64-bit scalar chunks per
+    scalar: the serial window-combine chain drops from 252 to 64 doublings —
+    the dominant cost of proof-scale MSMs over fixed generator sets."""
+
+    def __init__(self, points, split: bool = False):
         lib = _lib()
         xs, ys, inf = _pack_points(points)
-        self._handle = lib.bp_points_new(_buf(xs), _buf(ys), _buf(inf), len(points))
+        ctor = lib.bp_points_new_split if split else lib.bp_points_new
+        self._handle = ctor(_buf(xs), _buf(ys), _buf(inf), len(points))
         self._lib = lib
         self.n = len(points)
+        self.split = split
 
     def msm(self, scalars, indices: np.ndarray):
         """MSM of ``scalars[i] * table[indices[i]]``."""
@@ -306,6 +315,72 @@ def ipp_create(transcript, Q, G_factors, H_factors, G, H, a, b,
     return InnerProductProof(L_vec, R_vec, a_fin, b_fin)
 
 
+def _setup_ipp_table(lib):
+    import ctypes as ct
+
+    if getattr(lib, "_ipp_table_ready", False):
+        return
+    u8p = ct.c_void_p
+    lib.bp_ipp_create_table.argtypes = (
+        [u8p]                      # transcript state
+        + [ct.c_void_p, u8p]       # table handle, w
+        + [u8p] * 2                # factors
+        + [u8p] * 2                # a, b
+        + [ct.c_size_t] * 4        # n, g_off, h_off, q_idx
+        + [u8p] * 3                # L/R out
+        + [u8p] * 2                # a, b out
+    )
+    lib._ipp_table_ready = True
+
+
+def ipp_create_table(transcript, table, w, G_factors, H_factors, a, b,
+                     g_off: int, h_off: int, q_idx: int):
+    """Full IPP prover against a pre-registered split generator table
+    (``PointTable(split=True)`` over the fixed bases [G.. | H.. | B ..]).
+
+    ``w`` is the scalar with Q = w*B; the Q-term of each round's L/R MSM
+    folds it into the scalar (c_L * w) on the fixed base B, so every MSM
+    point is a table entry with precomputed 2^64-shift copies and the
+    per-round combine chain is 64 doublings.  Byte-identical output to
+    :func:`ipp_create` (same protocol, same transcript mutations)."""
+    from ..models.inner_product import InnerProductProof
+    from ..ops.field import Scalar
+
+    lib = _lib()
+    _setup_ipp_table(lib)
+    n = len(a)
+    lg_n = n.bit_length() - 1
+
+    state = np.frombuffer(transcript.state, dtype=np.uint8).copy()
+    wv = _pack_scalars([w])
+    gf = _pack_scalars(G_factors)
+    hf = _pack_scalars(H_factors)
+    av = _pack_scalars(a)
+    bv = _pack_scalars(b)
+
+    lr_x = np.zeros((2 * lg_n, 32), dtype=np.uint8)
+    lr_y = np.zeros((2 * lg_n, 32), dtype=np.uint8)
+    lr_i = np.zeros(2 * lg_n, dtype=np.uint8)
+    out_a = np.zeros(32, dtype=np.uint8)
+    out_b = np.zeros(32, dtype=np.uint8)
+
+    lib.bp_ipp_create_table(
+        _buf(state),
+        table._handle, _buf(wv),
+        _buf(gf), _buf(hf),
+        _buf(av), _buf(bv),
+        n, g_off, h_off, q_idx,
+        _buf(lr_x), _buf(lr_y), _buf(lr_i),
+        _buf(out_a), _buf(out_b),
+    )
+
+    transcript.state = state.tobytes()
+    pts = _unpack_points(lr_x, lr_y, lr_i)
+    a_fin = Scalar(int.from_bytes(out_a.tobytes(), "little"))
+    b_fin = Scalar(int.from_bytes(out_b.tobytes(), "little"))
+    return InnerProductProof(pts[0::2], pts[1::2], a_fin, b_fin)
+
+
 def sum_selected(bits, points):
     """Sum of points at positions where ``bits`` is truthy (bit commitments
     need no scalar multiplications)."""
@@ -363,6 +438,34 @@ def rp_phase1(m, n, vs, s_blinds, sL, sR, g_pack, h_pack, ab_pack, bb):
         _buf(h_pack[0]), _buf(h_pack[1]), _buf(h_pack[2]),
         _buf(ab_pack[0]), _buf(ab_pack[1]), _buf(ab_pack[2]),
         _buf(bx), _buf(by),
+        _buf(ax), _buf(ay), _buf(ai), _buf(sx), _buf(sy), _buf(si),
+    )
+    return _unpack_points(ax, ay, ai), _unpack_points(sx, sy, si)
+
+
+def rp_phase1_table(m, n, vs, s_blinds, sL, sR, table, g_off, h_off, bb_idx,
+                    ab_pack):
+    """Phase 1 against a pre-registered split generator table
+    ([G_agg | H_agg | ... | B_blinding]): per-party S_j MSMs run with
+    64-bit scalar chunks.  Byte-identical output to :func:`rp_phase1`."""
+    lib = _lib()
+    u8p = ctypes.c_void_p
+    lib.bp_rp_phase1_table.argtypes = (
+        [ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+        + [u8p] * 3
+        + [ctypes.c_void_p] + [ctypes.c_size_t] * 3
+        + [u8p] * 3 + [u8p] * 6
+    )
+    vs_arr = np.asarray(vs, dtype=np.uint64)
+    ax = np.zeros((m, 32), np.uint8); ay = np.zeros((m, 32), np.uint8)
+    ai = np.zeros(m, np.uint8)
+    sx = np.zeros((m, 32), np.uint8); sy = np.zeros((m, 32), np.uint8)
+    si = np.zeros(m, np.uint8)
+    lib.bp_rp_phase1_table(
+        m, n, vs_arr.ctypes.data,
+        _buf(s_blinds), _buf(sL), _buf(sR),
+        table._handle, g_off, h_off, bb_idx,
+        _buf(ab_pack[0]), _buf(ab_pack[1]), _buf(ab_pack[2]),
         _buf(ax), _buf(ay), _buf(ai), _buf(sx), _buf(sy), _buf(si),
     )
     return _unpack_points(ax, ay, ai), _unpack_points(sx, sy, si)

@@ -917,6 +917,46 @@ static __mmask8 pt8_add(Jac8 &io, const Jac8 &q, __mmask8 active) {
     return dblm & (__mmask8)~identp;
 }
 
+// io = 2*io per lane (dbl-2007-bl, a = 1 so a*Z^4 = (Z^2)^2 needs no extra
+// multiplication).  Identity lanes need no mask: Z = 0 gives
+// Z3 = (Y+Z)^2 - Y^2 - Z^2 = 2YZ = 0 (a multiple of P in the lazy
+// representation, canonicalized on slot extraction).
+static void jac8_dbl(Jac8 &io) {
+    Fe8 XX, YY, YYYY, ZZ, S, M, T, t0, t1, Z3;
+    fe8_sqr(XX, io.X);
+    fe8_sqr(YY, io.Y);
+    fe8_sqr(YYYY, YY);
+    fe8_sqr(ZZ, io.Z);
+    // S = 2*((X+YY)^2 - XX - YYYY)
+    fe8_add(t0, io.X, YY);
+    fe8_sqr(t0, t0);
+    fe8_sub(t0, t0, XX);
+    fe8_sub(t0, t0, YYYY);
+    fe8_add(S, t0, t0);
+    // M = 3*XX + (Z^2)^2
+    fe8_add(t0, XX, XX);
+    fe8_add(t0, t0, XX);
+    fe8_sqr(t1, ZZ);
+    fe8_add(M, t0, t1);
+    // Z3 = (Y+Z)^2 - YY - ZZ   (before Y/Z are overwritten)
+    fe8_add(Z3, io.Y, io.Z);
+    fe8_sqr(Z3, Z3);
+    fe8_sub(Z3, Z3, YY);
+    fe8_sub(Z3, Z3, ZZ);
+    // T = M^2 - 2S; Y3 = M*(S-T) - 8*YYYY
+    fe8_sqr(T, M);
+    fe8_sub(T, T, S);
+    fe8_sub(T, T, S);
+    fe8_sub(t0, S, T);
+    fe8_mul(t0, M, t0);
+    fe8_add(t1, YYYY, YYYY);
+    fe8_add(t1, t1, t1);
+    fe8_add(t1, t1, t1);
+    fe8_sub(io.Y, t0, t1);
+    io.X = T;
+    io.Z = Z3;
+}
+
 // bucket slot (fe52 mont Jacobian) <-> scalar Pt for rare-lane fixups
 static void slot_to_pt(Pt &out, const u64 *slot) {
     if (!(slot[10] | slot[11] | slot[12] | slot[13] | slot[14])) {
@@ -1082,29 +1122,124 @@ static void msm_window_group_ifma(const u8 *scalars, const u32 *indices,
     for (int L = 0; L < nl; ++L) slot_to_pt(window_out[w0 + L], tp[L]);
 }
 
-// Window count per thread-span cost model: span = ceil(groups/threads)
-// serial 8-way iterations of (k bucket adds + 2*2^c reduction adds).
-static int msm_pick_c_ifma(size_t k, int nthreads) {
-    int best_c = 8;
+// Window/partition cost model.  Work units are 8-lane point ops (a serial
+// scalar op costs about the same wall time as one 8-wide op).  Per (group,
+// part) task: bucket adds over the part's chunk — with a penalty for
+// same-bucket conflicts that kick the dual-issue pair onto the scalar
+// path — plus the suffix-sum reduction of 2^c-1 buckets.  Serial tail:
+// the combine doubling chain (= bits) plus the per-window part merges.
+// ``parts`` splits the points so few-window MSMs (64-bit split chunks
+// have at most two 8-window groups) still use every core.
+static void msm_pick_c_parts_ifma(size_t k, int njobs, int nthreads, int bits,
+                                  int *out_c, int *out_parts) {
+    int best_c = 8, best_parts = 1;
     double best = 1e300;
     for (int cc = 2; cc <= 18; ++cc) {
-        int windows = (252 + cc - 1) / cc;
+        int windows = (bits + cc - 1) / cc;
         int groups = (windows + 7) / 8;
-        int span_groups = (groups + nthreads - 1) / nthreads;
-        double cost = (double)span_groups *
-                      ((double)k + 2.0 * (double)((u64)1 << cc));
-        if (cost < best) { best = cost; best_c = cc; }
+        int max_parts = nthreads / (njobs * groups);
+        if (max_parts < 1) max_parts = 1;
+        if (max_parts > 8) max_parts = 8;
+        for (int parts = 1; parts <= max_parts; ++parts) {
+            if ((size_t)parts * 16 > k && parts > 1) break;  // tiny chunks
+            int tasks = njobs * groups * parts;
+            int span = (tasks + nthreads - 1) / nthreads;
+            double conflict = 8.0 / (double)((u64)1 << cc);
+            double per_task = ((double)k / parts) * (1.0 + conflict) +
+                              2.0 * (double)(((u64)1 << cc) - 1);
+            double serial = (double)bits + (double)windows * parts;
+            double cost = (double)span * per_task + serial;
+            if (cost < best) { best = cost; best_c = cc; best_parts = parts; }
+        }
     }
-    return best_c;
+    *out_c = best_c;
+    *out_parts = best_parts;
+}
+
+static int msm_pick_c_ifma(size_t k, int nthreads, int bits = 252) {
+    int c, parts;
+    msm_pick_c_parts_ifma(k, 1, nthreads, bits, &c, &parts);
+    return c;
+}
+
+static void msm_combine(const Pt *window_sums, int windows, int c,
+                        u8 *out_x, u8 *out_y, u8 *out_inf);
+
+// Run ``njobs`` same-size MSMs over one point table with window-group AND
+// point-partition parallelism; used by both the single and L/R-pair paths.
+struct MsmJob {
+    const u8 *s;
+    const u32 *idx;
+    u8 *ox, *oy;
+    u8 *oi;
+};
+
+static void msm_run_ifma_jobs(MsmJob *jobs, int njobs,
+                              const std::vector<AffinePt> &pts,
+                              const u64 *fe52, size_t k, int bits,
+                              int nthreads) {
+    int c, parts;
+    msm_pick_c_parts_ifma(k, njobs, nthreads, bits, &c, &parts);
+    int windows = (bits + c - 1) / c;
+    int ngroups = (windows + 7) / 8;
+    // point-chunking offsets index arrays; synthesize iota for null-index jobs
+    std::vector<u32> iota;
+    if (parts > 1) {
+        for (int j = 0; j < njobs; ++j) {
+            if (jobs[j].idx) continue;
+            if (iota.empty()) {
+                iota.resize(k);
+                for (size_t i = 0; i < k; ++i) iota[i] = (u32)i;
+            }
+            jobs[j].idx = iota.data();
+        }
+    }
+    std::vector<Pt> wsums((size_t)njobs * parts * windows);
+    size_t chunk = (k + parts - 1) / parts;
+    int tasks = njobs * ngroups * parts;
+    int nt = nthreads < tasks ? nthreads : tasks;
+    parallel_for((size_t)tasks, nt, [&](size_t t) {
+        int j = (int)(t % njobs);            // interleave jobs across cores
+        size_t gp = t / njobs;
+        int g = (int)(gp % ngroups);
+        int p = (int)(gp / ngroups);
+        size_t b = (size_t)p * chunk;
+        size_t e = b + chunk > k ? k : b + chunk;
+        if (b >= e) {
+            Pt *out = wsums.data() + ((size_t)j * parts + p) * windows;
+            int w0 = g * 8;
+            int nl = windows - w0 < 8 ? windows - w0 : 8;
+            for (int L = 0; L < nl; ++L) out[w0 + L] = PT_IDENT;
+            return;
+        }
+        int w0 = g * 8;
+        int nl = windows - w0 < 8 ? windows - w0 : 8;
+        msm_window_group_ifma(jobs[j].s + 32 * b,
+                              jobs[j].idx ? jobs[j].idx + b : nullptr,
+                              pts, fe52, e - b, c, w0, nl,
+                              wsums.data() + ((size_t)j * parts + p) * windows);
+    });
+    parallel_for((size_t)njobs, njobs, [&](size_t j) {
+        Pt *acc = wsums.data() + (size_t)j * parts * windows;
+        for (int p = 1; p < parts; ++p) {
+            const Pt *part = acc + (size_t)p * windows;
+            for (int w = 0; w < windows; ++w) {
+                Pt t;
+                pt_add(t, acc[w], part[w]);
+                acc[w] = t;
+            }
+        }
+        msm_combine(acc, windows, c, jobs[j].ox, jobs[j].oy, jobs[j].oi);
+    });
 }
 #endif  // BP_HAVE_IFMA
 
 
-static int msm_pick_c(size_t n) {
+static int msm_pick_c(size_t n, int bits = 252) {
     int c = 4;
     double best = 1e300;
     for (int cc = 2; cc <= 14; ++cc) {
-        double windows = (252.0 + cc - 1) / cc;
+        double windows = ((double)bits + cc - 1) / cc;
         double cost = windows * ((double)n + 2.0 * (double)((u64)1 << cc));
         if (cost < best) { best = cost; c = cc; }
     }
@@ -1163,7 +1298,8 @@ static std::vector<u64> fe52_table(const std::vector<AffinePt> &pts) {
 static void msm_run(const u8 *scalars, const u32 *indices,
                     const std::vector<AffinePt> &pts, size_t k,
                     u8 *out_x, u8 *out_y, u8 *out_inf,
-                    const u64 *fe52_cache = nullptr, int nthreads_cap = 0) {
+                    const u64 *fe52_cache = nullptr, int nthreads_cap = 0,
+                    int bits = 252) {
     if (k == 0) { memset(out_x, 0, 32); memset(out_y, 0, 32); *out_inf = 1; return; }
     unsigned hw = std::thread::hardware_concurrency();
     int nthreads = (int)(hw ? hw : 1);
@@ -1179,24 +1315,14 @@ static void msm_run(const u8 *scalars, const u32 *indices,
         // pool dispatch costs more than it buys on tiny MSMs — decide the
         // effective parallelism first so the window picker models it
         int eff_threads = (k < 256) ? 1 : nthreads;
-        int c = msm_pick_c_ifma(k, eff_threads);
-        int windows = (252 + c - 1) / c;
-        std::vector<Pt> window_sums(windows);
-        int ngroups = (windows + 7) / 8;
-        int nt = eff_threads < ngroups ? eff_threads : ngroups;
-        parallel_for((size_t)ngroups, nt, [&](size_t g) {
-            int w0 = (int)g * 8;
-            int nl = windows - w0 < 8 ? windows - w0 : 8;
-            msm_window_group_ifma(scalars, indices, pts, fe52_cache, k, c,
-                                  w0, nl, window_sums.data());
-        });
-        msm_combine(window_sums.data(), windows, c, out_x, out_y, out_inf);
+        MsmJob job{scalars, indices, out_x, out_y, out_inf};
+        msm_run_ifma_jobs(&job, 1, pts, fe52_cache, k, bits, eff_threads);
         return;
     }
 #endif
 
-    int c = msm_pick_c(k);
-    int windows = (252 + c - 1) / c;
+    int c = msm_pick_c(k, bits);
+    int windows = (bits + c - 1) / c;
     std::vector<Pt> window_sums(windows);
     if (nthreads > windows) nthreads = windows;
     if (k < 64) nthreads = 1;
@@ -1225,7 +1351,7 @@ static void msm_run_pair(const u8 *sL, const u32 *idxL,
                          const std::vector<AffinePt> &pts, size_t k,
                          u8 *Lx, u8 *Ly, u8 *Li,
                          u8 *Rx, u8 *Ry, u8 *Ri,
-                         const u64 *fe52_cache = nullptr) {
+                         const u64 *fe52_cache = nullptr, int bits = 252) {
 #ifdef BP_HAVE_IFMA
     if (k >= 16) {
         unsigned hw = std::thread::hardware_concurrency();
@@ -1235,39 +1361,104 @@ static void msm_run_pair(const u8 *sL, const u32 *idxL,
             fe_local = fe52_table(pts);
             fe52_cache = fe_local.data();
         }
-        // pick c for 2x the groups spread over all cores
-        int c = 8;
-        double best = 1e300;
-        for (int cc = 2; cc <= 18; ++cc) {
-            int windows = (252 + cc - 1) / cc;
-            int groups = 2 * ((windows + 7) / 8);
-            int span = (groups + nthreads - 1) / nthreads;
-            double cost = (double)span * ((double)k + 2.0 * (double)((u64)1 << cc));
-            if (cost < best) { best = cost; c = cc; }
-        }
-        int windows = (252 + c - 1) / c;
-        int ngroups = (windows + 7) / 8;
-        std::vector<Pt> wsL(windows), wsR(windows);
-        parallel_for((size_t)(2 * ngroups), nthreads, [&](size_t t) {
-            int g = (int)(t >> 1);
-            int w0 = g * 8;
-            int nl = windows - w0 < 8 ? windows - w0 : 8;
-            if ((t & 1) == 0)
-                msm_window_group_ifma(sL, idxL, pts, fe52_cache, k, c, w0, nl, wsL.data());
-            else
-                msm_window_group_ifma(sR, idxR, pts, fe52_cache, k, c, w0, nl, wsR.data());
-        });
-        parallel_for(2, 2, [&](size_t t) {
-            if (t == 0) msm_combine(wsL.data(), windows, c, Lx, Ly, Li);
-            else        msm_combine(wsR.data(), windows, c, Rx, Ry, Ri);
-        });
+        MsmJob jobs[2] = {{sL, idxL, Lx, Ly, Li}, {sR, idxR, Rx, Ry, Ri}};
+        msm_run_ifma_jobs(jobs, 2, pts, fe52_cache, k, bits, nthreads);
         return;
     }
 #endif
     parallel_for(2, 2, [&](size_t t) {
-        if (t == 0) msm_run(sL, idxL, pts, k, Lx, Ly, Li, fe52_cache);
-        else        msm_run(sR, idxR, pts, k, Rx, Ry, Ri, fe52_cache);
+        if (t == 0) msm_run(sL, idxL, pts, k, Lx, Ly, Li, fe52_cache, 0, bits);
+        else        msm_run(sR, idxR, pts, k, Rx, Ry, Ri, fe52_cache, 0, bits);
     });
+}
+
+// ---- 64-bit-chunk scalar splitting against pre-shifted base copies ----
+//
+// A table with split = 4 holds [P | 2^64 P | 2^128 P | 2^192 P] blocks; a
+// 252-bit scalar splits into four 64-bit chunks (plain integer identity
+// s = s0 + 2^64 s1 + 2^128 s2 + 2^192 s3), so the MSM runs over 4k points
+// with 64-bit scalars.  Total bucket adds stay ~k*252/c, but the serial
+// window-combine chain drops from 252 to 64 doublings and the window count
+// packs into two 8-lane IFMA groups — the dominant cost at proof-scale k.
+static void expand_split4(const u8 *scalars, const u32 *indices, size_t k,
+                          size_t base_n, std::vector<u8> &s4,
+                          std::vector<u32> &i4) {
+    s4.assign(32 * 4 * k, 0);
+    i4.resize(4 * k);
+    for (size_t j = 0; j < 4; ++j) {
+        u8 *dst = s4.data() + 32 * j * k;
+        u32 *idst = i4.data() + j * k;
+        u32 off = (u32)(j * base_n);
+        for (size_t i = 0; i < k; ++i) {
+            memcpy(dst + 32 * i, scalars + 32 * i + 8 * j, 8);
+            idst[i] = off + (indices ? indices[i] : (u32)i);
+        }
+    }
+}
+
+// Batched affine normalization staying in the field domain (Montgomery trick).
+static void pts_to_affine_fp(AffinePt *out, const Pt *pts, size_t n) {
+    std::vector<Fp> prefix(n);
+    Fp acc = FP_ONE;
+    for (size_t i = 0; i < n; ++i) {
+        prefix[i] = acc;
+        if (!pt_is_ident(pts[i])) { Fp t; fp_mul(t, acc, pts[i].Z); acc = t; }
+    }
+    Fp inv_acc;
+    fp_inv(inv_acc, acc);
+    for (size_t i = n; i-- > 0;) {
+        if (pt_is_ident(pts[i])) { out[i].inf = 1; continue; }
+        Fp zinv, t;
+        fp_mul(zinv, inv_acc, prefix[i]);
+        fp_mul(t, inv_acc, pts[i].Z);
+        inv_acc = t;
+        Fp z2, z3;
+        fp_sqr(z2, zinv);
+        fp_mul(z3, z2, zinv);
+        fp_mul(out[i].x, pts[i].X, z2);
+        fp_mul(out[i].y, pts[i].Y, z3);
+        out[i].inf = 0;
+    }
+}
+
+// out[i] = 2^64 * in[i] for a block of <= 8 points (8-wide doubling chain
+// under IFMA; scalar fallback otherwise).
+static void shift64_block(const AffinePt *in, AffinePt *out, size_t n) {
+    std::vector<Pt> res(n);
+#ifdef BP_HAVE_IFMA
+    for (size_t g = 0; g < n; g += 8) {
+        int nl = (int)((n - g) < 8 ? (n - g) : 8);
+        alignas(64) u64 slots[8][16];
+        memset(slots, 0, sizeof(slots));
+        u64 *bp[8];
+        __mmask8 act = 0;
+        for (int L = 0; L < 8; ++L) bp[L] = slots[L];
+        for (int L = 0; L < nl; ++L) {
+            if (in[g + L].inf) continue;
+            Pt p;
+            p.X = in[g + L].x; p.Y = in[g + L].y; p.Z = FP_ONE;
+            slot_from_pt(slots[L], p);
+            act |= (__mmask8)(1u << L);
+        }
+        Jac8 acc;
+        jac8_load(acc, bp, act);
+        for (int d = 0; d < 64; ++d) jac8_dbl(acc);
+        jac8_store(acc, bp, act);
+        for (int L = 0; L < nl; ++L) {
+            if (in[g + L].inf) res[g + L] = PT_IDENT;
+            else slot_to_pt(res[g + L], slots[L]);
+        }
+    }
+#else
+    for (size_t i = 0; i < n; ++i) {
+        if (in[i].inf) { res[i] = PT_IDENT; continue; }
+        Pt p;
+        p.X = in[i].x; p.Y = in[i].y; p.Z = FP_ONE;
+        for (int d = 0; d < 64; ++d) { Pt t; pt_dbl(t, p); p = t; }
+        res[i] = p;
+    }
+#endif
+    pts_to_affine_fp(out, res.data(), n);
 }
 
 static std::vector<AffinePt> load_affine(const u8 *xs, const u8 *ys,
@@ -1291,7 +1482,9 @@ void bp_msm(const u8 *scalars, const u8 *xs, const u8 *ys, const u8 *inf,
 
 // Indexed MSM over a pre-registered point table (see bp_points_new).
 struct PointTable {
-    std::vector<AffinePt> pts;
+    std::vector<AffinePt> pts;   // split == 4: blocks [P | 2^64P | 2^128P | 2^192P]
+    size_t base_n = 0;
+    int split = 1;
 #ifdef BP_HAVE_IFMA
     std::vector<u64> fe52;
 #endif
@@ -1300,6 +1493,34 @@ struct PointTable {
 void *bp_points_new(const u8 *xs, const u8 *ys, const u8 *inf, size_t n) {
     PointTable *t = new PointTable();
     t->pts = load_affine(xs, ys, inf, n);
+    t->base_n = n;
+#ifdef BP_HAVE_IFMA
+    t->fe52 = fe52_table(t->pts);
+#endif
+    return t;
+}
+
+// Split-table registration: precompute the 2^64/2^128/2^192 base shifts
+// (one-time, 8-wide doubling chains threaded across the pool) so later MSMs
+// run with 64-bit scalar chunks.
+void *bp_points_new_split(const u8 *xs, const u8 *ys, const u8 *inf, size_t n) {
+    PointTable *t = new PointTable();
+    t->base_n = n;
+    t->split = 4;
+    t->pts.resize(4 * n);
+    std::vector<AffinePt> base = load_affine(xs, ys, inf, n);
+    std::copy(base.begin(), base.end(), t->pts.begin());
+    unsigned hw = std::thread::hardware_concurrency();
+    for (int j = 1; j < 4; ++j) {
+        const AffinePt *src = t->pts.data() + (size_t)(j - 1) * n;
+        AffinePt *dst = t->pts.data() + (size_t)j * n;
+        size_t ngroups = (n + 7) / 8;
+        parallel_for(ngroups, (int)(hw ? hw : 1), [&](size_t g) {
+            size_t b = 8 * g;
+            size_t e = (b + 8 > n) ? n : b + 8;
+            shift64_block(src + b, dst + b, e - b);
+        });
+    }
 #ifdef BP_HAVE_IFMA
     t->fe52 = fe52_table(t->pts);
 #endif
@@ -1311,10 +1532,20 @@ void bp_points_free(void *table) { delete (PointTable *)table; }
 void bp_msm_indexed(void *table, const u8 *scalars, const u32 *indices, size_t k,
                     u8 *out_x, u8 *out_y, u8 *out_inf) {
     PointTable *t = (PointTable *)table;
+    const u8 *s = scalars;
+    const u32 *idx = indices;
+    size_t kk = k;
+    int bits = 252;
+    std::vector<u8> s4;
+    std::vector<u32> i4;
+    if (t->split == 4) {
+        expand_split4(scalars, indices, k, t->base_n, s4, i4);
+        s = s4.data(); idx = i4.data(); kk = 4 * k; bits = 64;
+    }
 #ifdef BP_HAVE_IFMA
-    msm_run(scalars, indices, t->pts, k, out_x, out_y, out_inf, t->fe52.data());
+    msm_run(s, idx, t->pts, kk, out_x, out_y, out_inf, t->fe52.data(), 0, bits);
 #else
-    msm_run(scalars, indices, t->pts, k, out_x, out_y, out_inf);
+    msm_run(s, idx, t->pts, kk, out_x, out_y, out_inf, nullptr, 0, bits);
 #endif
 }
 
@@ -1655,6 +1886,112 @@ extern "C" void bp_ipp_create(
     memcpy(transcript_state, tr.state, 32);
 }
 
+// IPP prover over a pre-registered split point table (bp_points_new_split).
+// The table holds the fixed bases [.. G .. | .. H .. | B ..] with their
+// 2^64/2^128/2^192 shifts; callers pass base-table offsets so one cached
+// aggregated-generator table serves every proof size (g index = g_off + i,
+// h index = h_off + i, Q term = (c_L * w) * table[q_idx] since Q = w * B).
+// Each round's L/R MSM runs with 64-bit scalar chunks: the serial window
+// combine is 64 doublings instead of 252 — the dominant cost at small n.
+extern "C" void bp_ipp_create_table(
+    u8 *transcript_state,                       // 32 bytes, in/out (dom-sep done)
+    void *table_handle,                         // split PointTable
+    const u8 *w_bytes,                          // 32B scalar w (Q = w*B)
+    const u8 *g_factors, const u8 *h_factors,   // 32*n each (canonical LE)
+    const u8 *a_in, const u8 *b_in,             // 32*n each
+    size_t n, size_t g_off, size_t h_off, size_t q_idx,
+    u8 *out_lr_x, u8 *out_lr_y, u8 *out_lr_inf, // 2*lg(n) points: L0,R0,L1,R1,...
+    u8 *out_a, u8 *out_b)                       // 32 bytes each
+{
+    PointTable *table = (PointTable *)table_handle;
+    Transcript tr;
+    memcpy(tr.state, transcript_state, 32);
+
+    std::vector<Fr> wG(n), wH(n), av(n), bv(n);
+    Fr w;
+    fr_from_bytes(w, w_bytes);
+    for (size_t i = 0; i < n; ++i) {
+        fr_from_bytes(wG[i], g_factors + 32 * i);
+        fr_from_bytes(wH[i], h_factors + 32 * i);
+        fr_from_bytes(av[i], a_in + 32 * i);
+        fr_from_bytes(bv[i], b_in + 32 * i);
+    }
+
+    std::vector<u8> sL_bytes(32 * (n + 1)), sR_bytes(32 * (n + 1));
+    std::vector<u32> idxL(n + 1), idxR(n + 1);
+    std::vector<u8> sL4, sR4;
+    std::vector<u32> iL4, iR4;
+    const u64 *fe52p = nullptr;
+#ifdef BP_HAVE_IFMA
+    fe52p = table->fe52.data();
+#endif
+
+    size_t round = 0;
+    size_t cur = n;
+    while (cur > 1) {
+        size_t half = cur / 2;
+        Fr c_L = {{0, 0, 0, 0}}, c_R = {{0, 0, 0, 0}}, t0;
+        for (size_t i = 0; i < half; ++i) {
+            fr_mul(t0, av[i], bv[half + i]); fr_add(c_L, c_L, t0);
+            fr_mul(t0, av[half + i], bv[i]); fr_add(c_R, c_R, t0);
+        }
+
+        for (size_t i = 0; i < n; ++i) {
+            size_t r = i % cur;
+            Fr s;
+            if (r >= half) { fr_mul(s, wG[i], av[r - half]); idxL[i] = (u32)(g_off + i); }
+            else           { fr_mul(s, wH[i], bv[half + r]); idxL[i] = (u32)(h_off + i); }
+            fr_to_bytes(sL_bytes.data() + 32 * i, s);
+            if (r >= half) { fr_mul(s, wH[i], bv[r - half]); idxR[i] = (u32)(h_off + i); }
+            else           { fr_mul(s, wG[i], av[half + r]); idxR[i] = (u32)(g_off + i); }
+            fr_to_bytes(sR_bytes.data() + 32 * i, s);
+        }
+        Fr cq;
+        fr_mul(cq, c_L, w);
+        fr_to_bytes(sL_bytes.data() + 32 * n, cq);
+        fr_mul(cq, c_R, w);
+        fr_to_bytes(sR_bytes.data() + 32 * n, cq);
+        idxL[n] = idxR[n] = (u32)q_idx;
+
+        expand_split4(sL_bytes.data(), idxL.data(), n + 1, table->base_n, sL4, iL4);
+        expand_split4(sR_bytes.data(), idxR.data(), n + 1, table->base_n, sR4, iR4);
+
+        u8 Lx[32], Ly[32], Li, Rx[32], Ry[32], Ri;
+        msm_run_pair(sL4.data(), iL4.data(), sR4.data(), iR4.data(),
+                     table->pts, 4 * (n + 1), Lx, Ly, &Li, Rx, Ry, &Ri,
+                     fe52p, 64);
+
+        memcpy(out_lr_x + 64 * round, Lx, 32); memcpy(out_lr_x + 64 * round + 32, Rx, 32);
+        memcpy(out_lr_y + 64 * round, Ly, 32); memcpy(out_lr_y + 64 * round + 32, Ry, 32);
+        out_lr_inf[2 * round] = Li; out_lr_inf[2 * round + 1] = Ri;
+
+        tr_append_point_affine(tr, (const u8 *)"L", 1, Lx, Ly, Li);
+        tr_append_point_affine(tr, (const u8 *)"R", 1, Rx, Ry, Ri);
+        Fr u, u_inv;
+        tr_challenge_scalar(tr, (const u8 *)"u", 1, u);
+        fr_inv(u_inv, u);
+
+        if (half > 1) {
+            for (size_t i = 0; i < n; ++i) {
+                Fr t;
+                if ((i % cur) < half) { fr_mul(t, wG[i], u_inv); wG[i] = t; fr_mul(t, wH[i], u); wH[i] = t; }
+                else                  { fr_mul(t, wG[i], u); wG[i] = t; fr_mul(t, wH[i], u_inv); wH[i] = t; }
+            }
+        }
+        for (size_t i = 0; i < half; ++i) {
+            Fr t1, t2;
+            fr_mul(t1, av[i], u); fr_mul(t2, av[half + i], u_inv); fr_add(av[i], t1, t2);
+            fr_mul(t1, bv[i], u_inv); fr_mul(t2, bv[half + i], u); fr_add(bv[i], t1, t2);
+        }
+        cur = half;
+        ++round;
+    }
+
+    fr_to_bytes(out_a, av[0]);
+    fr_to_bytes(out_b, bv[0]);
+    memcpy(transcript_state, tr.state, 32);
+}
+
 // ---- sum of selected points: out = sum_{i: bits[i] != 0} P_i ----
 extern "C" void bp_sum_selected(const u8 *bits, const u8 *xs, const u8 *ys,
                                 const u8 *inf, size_t n,
@@ -1751,6 +2088,73 @@ extern "C" void bp_rp_phase1(
         memcpy(sbytes.data() + 64 * n, s_blinds + 32 * j, 32);
         u8 sx[32], sy[32], si;
         msm_run(sbytes.data(), nullptr, pts, 2 * n + 1, sx, sy, &si, nullptr, 1);
+        pt_from_affine(Ss[j], sx, sy, si);
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    parallel_for(m, (int)(hw ? hw : 1), party);
+    pt_to_affine_batch(out_ax, out_ay, out_ainf, As.data(), m);
+    pt_to_affine_batch(out_sx, out_sy, out_sinf, Ss.data(), m);
+}
+
+// Phase 1 over a pre-registered split generator table (layout
+// [G_agg(m*n) | H_agg(m*n) | ... | B_blinding]): A_j needs no scalar muls
+// (bit-selected adds against the table's base block); S_j runs as a
+// 64-bit-chunk split MSM (combine chain 64 doublings instead of 252).
+extern "C" void bp_rp_phase1_table(
+    size_t m, size_t n, const u64 *vs,
+    const u8 *s_blinds,                                  // 32*m
+    const u8 *sL, const u8 *sR,                          // 32*m*n each
+    void *table_handle, size_t g_off, size_t h_off, size_t bb_idx,
+    const u8 *abx, const u8 *aby, const u8 *abinf,       // m pts: a_blind*B~
+    u8 *out_ax, u8 *out_ay, u8 *out_ainf,
+    u8 *out_sx, u8 *out_sy, u8 *out_sinf)
+{
+    PointTable *table = (PointTable *)table_handle;
+    const u64 *fe52p = nullptr;
+#ifdef BP_HAVE_IFMA
+    fe52p = table->fe52.data();
+#endif
+    std::vector<Pt> As(m), Ss(m);
+    auto party = [&](size_t j) {
+        // A_j = a_blind*B~ + sum_{bit=1} G_i + sum_{bit=0} -H_i
+        Pt acc;
+        pt_from_affine(acc, abx + 32 * j, aby + 32 * j, abinf[j]);
+        for (size_t i = 0; i < n; ++i) {
+            int bit = (int)((vs[j] >> i) & 1);
+            const AffinePt &ap =
+                table->pts[(bit ? g_off : h_off) + j * n + i];
+            if (ap.inf) continue;
+            Pt t;
+            if (bit) {
+                pt_add_mixed(t, acc, ap.x, ap.y);
+            } else {
+                Fp ny;
+                fp_sub(ny, FP_ZERO, ap.y);
+                pt_add_mixed(t, acc, ap.x, ny);
+            }
+            acc = t;
+        }
+        As[j] = acc;
+        // S_j = <sL_j, G_j> + <sR_j, H_j> + s_blind*B~ (split MSM)
+        size_t k = 2 * n + 1;
+        std::vector<u8> sbytes(32 * k);
+        std::vector<u32> idx(k);
+        memcpy(sbytes.data(), sL + 32 * n * j, 32 * n);
+        memcpy(sbytes.data() + 32 * n, sR + 32 * n * j, 32 * n);
+        memcpy(sbytes.data() + 64 * n, s_blinds + 32 * j, 32);
+        for (size_t i = 0; i < n; ++i) {
+            idx[i] = (u32)(g_off + j * n + i);
+            idx[n + i] = (u32)(h_off + j * n + i);
+        }
+        idx[2 * n] = (u32)bb_idx;
+        std::vector<u8> s4;
+        std::vector<u32> i4;
+        expand_split4(sbytes.data(), idx.data(), k, table->base_n, s4, i4);
+        u8 sx[32], sy[32], si;
+        // parties already span the pool; keep per-party MSMs single-threaded
+        // unless there is only one party
+        msm_run(s4.data(), i4.data(), table->pts, 4 * k, sx, sy, &si,
+                fe52p, m > 1 ? 1 : 0, 64);
         pt_from_affine(Ss[j], sx, sy, si);
     };
     unsigned hw = std::thread::hardware_concurrency();

@@ -113,6 +113,17 @@ def test_select_window_monotone():
     assert 5 <= select_window(16) <= select_window(1 << 20) <= 16
 
 
+def _run_pallas_branch(monkeypatch, n: int, c: int):
+    from mpc_bulletproof_tpu.ops import msm as msm_mod
+
+    monkeypatch.setattr(msm_mod, "_compile_friendly", lambda: False)
+    g = StarkPoint.generator()
+    pts = [g.scalar_mul(Scalar(rng.getrandbits(260))) for _ in range(n)]
+    scalars = [Scalar(rng.getrandbits(252)) for _ in range(n)]
+    got = msm_mod.msm_host_points(scalars, pts, c)
+    assert got == StarkPoint.msm(scalars, pts)
+
+
 def test_msm_pallas_branch_interpret(monkeypatch):
     """Force the TPU (pallas grid-scan) bucket phase through the interpreter.
 
@@ -120,13 +131,14 @@ def test_msm_pallas_branch_interpret(monkeypatch):
     ``kernels.point_scan_steps``; monkeypatching it exercises the
     grid-sequential scan + chunk-offset fix-up exactly as compiled on TPU
     (interpret mode runs the same kernel body).
-    """
-    from mpc_bulletproof_tpu.ops import msm as msm_mod
 
-    monkeypatch.setattr(msm_mod, "_compile_friendly", lambda: False)
-    g = StarkPoint.generator()
-    n = 24
-    pts = [g.scalar_mul(Scalar(rng.getrandbits(260))) for _ in range(n)]
-    scalars = [Scalar(rng.getrandbits(252)) for _ in range(n)]
-    got = msm_mod.msm_host_points(scalars, pts, 5)
-    assert got == StarkPoint.msm(scalars, pts)
+    Interpret mode re-traces the kernel body per grid step (minutes of
+    overhead at real sizes), so the default run uses the smallest shape
+    that still covers the scan + fix-up logic; BP_SLOW_TESTS=1 runs a
+    proof-scale shape too.
+    """
+    import os
+
+    _run_pallas_branch(monkeypatch, 4, 2)
+    if os.environ.get("BP_SLOW_TESTS"):
+        _run_pallas_branch(monkeypatch, 24, 5)
