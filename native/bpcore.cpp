@@ -320,13 +320,18 @@ static inline int scalar_bit(const u8 *s, int bit) {
 }
 
 static inline u64 scalar_window(const u8 *s, int start_bit, int width) {
-    // width <= 16; gather bits [start_bit, start_bit+width)
-    u64 out = 0;
-    for (int i = 0; i < width; ++i) {
-        int b = start_bit + i;
-        if (b < 256) out |= (u64)scalar_bit(s, b) << i;
+    // width <= 16: one unaligned little-endian load covers the window
+    // ((start&7) + width <= 23 bits); clamped near the 32-byte tail.
+    int byte = start_bit >> 3;
+    if (byte >= 32) return 0;
+    u64 w;
+    if (byte <= 24) {
+        memcpy(&w, s + byte, 8);
+    } else {
+        w = 0;
+        memcpy(&w, s + byte, 32 - byte);
     }
-    return out;
+    return (w >> (start_bit & 7)) & (((u64)1 << width) - 1);
 }
 
 // ---------------------------------------------------------------------------
@@ -720,31 +725,31 @@ static inline __mmask8 fe8_diff_is_zero_mod(const Fe8 &d) {
 // Lane transport between AoS bucket slots (16 u64: X[0..4] Y[0..4] Z[0..4] pad)
 // and limb-sliced registers.
 static void jac8_load(Jac8 &io, u64 *const bp[8], __mmask8 active) {
-    alignas(64) u64 buf[15][8];
-    memset(buf, 0, sizeof(buf));
-    for (int k = 0; k < 8; ++k) {
-        if (!((active >> k) & 1)) continue;
-        const u64 *src = bp[k];
-        for (int l = 0; l < 15; ++l) buf[l][k] = src[l];
-    }
+    // one hardware gather per limb: the per-lane slot pointers act as
+    // absolute 64-bit indices (base = limb byte offset, scale = 1)
+    const __m512i addr = _mm512_loadu_si512((const void *)bp);
+    const __m512i zero = _mm512_setzero_si512();
     for (int l = 0; l < 5; ++l) {
-        io.X.l[l] = _mm512_load_si512((const void *)buf[l]);
-        io.Y.l[l] = _mm512_load_si512((const void *)buf[5 + l]);
-        io.Z.l[l] = _mm512_load_si512((const void *)buf[10 + l]);
+        io.X.l[l] = _mm512_mask_i64gather_epi64(
+            zero, active, addr, (const void *)(uintptr_t)(8 * l), 1);
+        io.Y.l[l] = _mm512_mask_i64gather_epi64(
+            zero, active, addr, (const void *)(uintptr_t)(8 * (5 + l)), 1);
+        io.Z.l[l] = _mm512_mask_i64gather_epi64(
+            zero, active, addr, (const void *)(uintptr_t)(8 * (10 + l)), 1);
     }
 }
 
 static void jac8_store(const Jac8 &io, u64 *const bp[8], __mmask8 storemask) {
-    alignas(64) u64 buf[15][8];
+    // one hardware scatter per limb (masked lanes untouched; callers mask
+    // off conflict/doubling lanes, so live addresses are distinct)
+    const __m512i addr = _mm512_loadu_si512((const void *)bp);
     for (int l = 0; l < 5; ++l) {
-        _mm512_store_si512((void *)buf[l], io.X.l[l]);
-        _mm512_store_si512((void *)buf[5 + l], io.Y.l[l]);
-        _mm512_store_si512((void *)buf[10 + l], io.Z.l[l]);
-    }
-    for (int k = 0; k < 8; ++k) {
-        if (!((storemask >> k) & 1)) continue;
-        u64 *dst = bp[k];
-        for (int l = 0; l < 15; ++l) dst[l] = buf[l][k];
+        _mm512_mask_i64scatter_epi64(
+            (void *)(uintptr_t)(8 * l), storemask, addr, io.X.l[l], 1);
+        _mm512_mask_i64scatter_epi64(
+            (void *)(uintptr_t)(8 * (5 + l)), storemask, addr, io.Y.l[l], 1);
+        _mm512_mask_i64scatter_epi64(
+            (void *)(uintptr_t)(8 * (10 + l)), storemask, addr, io.Z.l[l], 1);
     }
 }
 
