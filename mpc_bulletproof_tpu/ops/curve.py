@@ -29,9 +29,21 @@ _INF_FLAG = 0x40
 _NEG_FLAG = 0x80
 
 
-# Tonelli-Shanks constants for P (fixed): P-1 = _TS_Q * 2^_TS_S with _TS_Q
-# odd; _TS_CZ = z^_TS_Q for the smallest quadratic non-residue z.  Cached at
-# import so point decompression pays only the per-value exponentiations.
+# Square roots mod P.  P - 1 = _TS_Q * 2^_TS_S with _TS_Q = 2^59 + 17 odd
+# and _TS_S = 192: the 2-adicity is so large that classic Tonelli-Shanks
+# costs O(S^2) ~ 37k modmuls (~4 ms) per decompression — the single most
+# expensive scalar operation in the library.  Instead we solve the square
+# root via a windowed Pohlig-Hellman discrete log in the 2-Sylow subgroup:
+#
+#   t = a^q lies in <g>, g = z^q of order 2^S.  Find e with t = g^e one
+#   w-bit digit at a time (a table lookup in the order-2^w subgroup per
+#   digit, corrections from a precomputed g^(-d*2^m) table), then
+#   r = a^((q+1)/2) * g^(-e/2).  a is a QR iff e is even.
+#
+# Cost: ~S squarings + ~D^2/2 table muls + one 59-bit pow ~ 600 modmuls
+# (~50x faster).  Tables (built lazily, ~49k modmuls once): 192 rows of
+# g^(-d*2^m) for d < 2^w, plus the dlog dictionary of the order-2^w
+# subgroup.
 _TS_Q = P - 1
 _TS_S = 0
 while _TS_Q % 2 == 0:
@@ -43,30 +55,67 @@ while pow(_z, (P - 1) // 2, P) != P - 1:
 _TS_CZ = pow(_z, _TS_Q, P)
 del _z
 
+_SQRT_W = 8
+_SQRT_D = -(-_TS_S // _SQRT_W)
+_SQRT_TABLES: tuple[list[list[int]], dict[int, int]] | None = None
+
+
+def _build_sqrt_tables():
+    g_inv = pow(_TS_CZ, -1, P)
+    rows = []
+    base = g_inv  # g^(-2^m)
+    width = 1 << _SQRT_W
+    for _m in range(_TS_S):
+        row = [1] * width
+        for d in range(1, width):
+            row[d] = row[d - 1] * base % P
+        rows.append(row)
+        base = base * base % P
+    h = pow(_TS_CZ, 1 << (_TS_S - _SQRT_W), P)  # order-2^w generator
+    dlog = {}
+    cur = 1
+    for k in range(width):
+        dlog[cur] = k
+        cur = cur * h % P
+    return rows, dlog
+
 
 def _sqrt_mod_p(a: int) -> int | None:
-    """Tonelli-Shanks square root mod P (P-1 = 2^192 * odd)."""
+    global _SQRT_TABLES
     if a == 0:
         return 0
-    if pow(a, (P - 1) // 2, P) != 1:
-        return None
-    q, s = _TS_Q, _TS_S
-    m = s
-    c = _TS_CZ
-    t = pow(a, q, P)
-    r = pow(a, (q + 1) // 2, P)
-    while t != 1:
-        # Find least i, 0 < i < m, with t^(2^i) == 1
-        i = 0
-        t2 = t
-        while t2 != 1:
-            t2 = t2 * t2 % P
-            i += 1
-        b = pow(c, 1 << (m - i - 1), P)
-        m = i
-        c = b * b % P
-        t = t * c % P
-        r = r * b % P
+    if _SQRT_TABLES is None:
+        _SQRT_TABLES = _build_sqrt_tables()
+    rows, dlog = _SQRT_TABLES
+    s, w = _TS_S, _SQRT_W
+
+    t = pow(a, _TS_Q, P)
+    ladder = [t]  # t^(2^i)
+    for _ in range(s - w):
+        ladder.append(ladder[-1] * ladder[-1] % P)
+
+    e = 0
+    digits: list[int] = []
+    for j in range(_SQRT_D):
+        proj = s - w * (j + 1)
+        u = ladder[proj]
+        for i, di in enumerate(digits):
+            if di:
+                u = u * rows[w * i + proj][di] % P
+        dig = dlog.get(u)
+        if dig is None:  # t not in <g>: cannot happen for field elements
+            return None
+        digits.append(dig)
+        e |= dig << (w * j)
+    if e & 1:
+        return None  # quadratic non-residue
+
+    r = pow(a, (_TS_Q + 1) // 2, P)
+    half = e >> 1
+    for j in range(_SQRT_D):
+        d = (half >> (w * j)) & ((1 << w) - 1)
+        if d:
+            r = r * rows[w * j][d] % P
     return r
 
 

@@ -60,16 +60,41 @@ def _unpack_scalars(data: bytes) -> list[Scalar]:
     return out
 
 
+# Fabric wire format for points: uncompressed x|y (32 LE bytes each) plus an
+# infinity flag.  Proof CODECS stay compressed (32 bytes); the party link is
+# our own transport, and decompression costs a Tonelli-Shanks square root —
+# P-1 has 2-adicity 192, making it the single most expensive scalar op in
+# the whole library.  Validation on receive is the on-curve check (cheap).
+_POINT_WIRE = 65
+
+
 def _pack_points(points: Sequence[StarkPoint]) -> bytes:
-    return struct.pack(">I", len(points)) + b"".join(p.to_bytes() for p in points)
+    parts = [struct.pack(">I", len(points))]
+    for p in points:
+        if p.is_identity():
+            parts.append(b"\x00" * 64 + b"\x01")
+        else:
+            parts.append(
+                p.x.to_bytes(32, "little") + p.y.to_bytes(32, "little") + b"\x00"
+            )
+    return b"".join(parts)
 
 
 def _unpack_points(data: bytes) -> list[StarkPoint]:
     (count,) = struct.unpack(">I", data[:4])
     out = []
     for i in range(count):
-        off = 4 + i * 32
-        out.append(StarkPoint.from_bytes(data[off : off + 32]))
+        off = 4 + i * _POINT_WIRE
+        raw = data[off : off + _POINT_WIRE]
+        if raw[64]:
+            out.append(StarkPoint.identity())
+            continue
+        out.append(
+            StarkPoint.from_affine(
+                int.from_bytes(raw[:32], "little"),
+                int.from_bytes(raw[32:64], "little"),
+            )
+        )
     return out
 
 
