@@ -51,7 +51,7 @@ from .limb import BASE_BITS, NL
 FIELD_BITS = 252
 
 
-def select_window(n: int) -> int:
+def select_window(n: int, bits: int = FIELD_BITS) -> int:
     """Pick the signed-digit window size minimizing ~windows*(n + 2^c).
 
     (The grid-scan bucket phase costs n adds per window; the signed-bucket
@@ -62,61 +62,80 @@ def select_window(n: int) -> int:
     # remote-compile payload limit for a ~1.07x model gain.
     best_c, best_cost = 5, None
     for c in range(5, 15):
-        if FIELD_BITS % c > c - 2:
+        if bits % c > c - 2:
             # top window must stay within the signed bucket range [0, 2^(c-1)]
-            # (FIELD_BITS % c == 0 or c-1 would let it reach ~2^c)
+            # (bits % c == 0 or c-1 would let it reach ~2^c)
             continue
-        windows = -(-FIELD_BITS // c)
+        windows = -(-bits // c)
         cost = windows * (n + (1 << c))
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
 
 
-def _digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+def _digits(scalars: jnp.ndarray, c: int, bits: int = FIELD_BITS) -> jnp.ndarray:
     """``(NL, n)`` limbs -> ``(num_windows, n)`` c-bit digit rows.
 
-    Each window's bits span at most 3 limbs; extracted with masked
-    shift-ors (no 252-row bit matrix — a 1 GB intermediate at n = 2^20).
+    One batched gather of the three limbs each window can touch plus
+    per-row shift-ors — a handful of whole-(nw, n) tensor ops.  (The
+    obvious per-window loop emits ~5 tiny ops per window; measured on
+    v5e those dominated the whole MSM at ~0.8 ms/op.)
+
+    Safety of the clamped limb indices: a clamped (out-of-range) limb's
+    contribution starts at bit 13-off (limb1) / 26-off (limb2), which for
+    every c <= 14 used here lies at or above c and is masked off.
     """
-    nw = -(-FIELD_BITS // c)
-    rows = []
-    for w in range(nw):
-        lo_bit = w * c
-        k, off = divmod(lo_bit, BASE_BITS)
-        val = scalars[k] >> off
-        got = BASE_BITS - off
-        k += 1
-        while got < c and k < NL:
-            take = min(BASE_BITS, c - got)
-            val = val | ((scalars[k] & ((1 << take) - 1)) << got)
-            got += take
-            k += 1
-        rows.append(val & ((1 << c) - 1))
-    return jnp.stack(rows, axis=0)
+    import numpy as np
+
+    nw = -(-bits // c)
+    lo = np.arange(nw, dtype=np.int32) * c
+    k0 = lo // BASE_BITS
+    off = (lo % BASE_BITS).astype(np.int32)
+    idx = np.minimum(
+        np.stack([k0, k0 + 1, k0 + 2]), scalars.shape[0] - 1
+    )  # (3, nw)
+    limbs = jnp.take(scalars, jnp.asarray(idx.reshape(-1)), axis=0).reshape(
+        3, nw, scalars.shape[-1]
+    )
+    off_col = jnp.asarray(off)[:, None]
+    val = (limbs[0] >> off_col)
+    val = val | (limbs[1] << (BASE_BITS - off_col))
+    val = val | (limbs[2] << (2 * BASE_BITS - off_col))
+    return val & ((1 << c) - 1)
 
 
-def _signed_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+def _signed_digits(scalars: jnp.ndarray, c: int, bits: int = FIELD_BITS) -> jnp.ndarray:
     """``(NL, n)`` limbs -> ``(nw, n)`` signed digits in [-2^(c-1), 2^(c-1)].
 
     Window i borrows 2^c from window i+1 when its digit is > 2^(c-1); the
     carry chain is ``nw`` sequential vector steps.  The top window absorbs
-    the final carry unsigned (bounded by 2^(FIELD_BITS - (nw-1)*c) + 1).
+    the final carry unsigned (bounded by 2^(bits - (nw-1)*c) + 1).
     """
-    if FIELD_BITS % c > c - 2:
+    if bits % c > c - 2:
         raise ValueError(f"window c={c}: top window would overflow signed buckets")
-    raw = _digits(scalars, c)
+    raw = _digits(scalars, c, bits)
     half = 1 << (c - 1)
     full = 1 << c
-    rows = []
-    carry = jnp.zeros(raw.shape[-1], dtype=raw.dtype)
-    for i in range(raw.shape[0] - 1):
-        d = raw[i] + carry
-        hi = d > half
-        rows.append(jnp.where(hi, d - full, d))
-        carry = hi.astype(raw.dtype)
-    rows.append(raw[-1] + carry)
-    return jnp.stack(rows, axis=0)
+    nw = raw.shape[0]
+    # Borrow chain as carry-lookahead: window i generates a borrow when
+    # raw_i > half and propagates one when raw_i == half (then
+    # raw_i + carry_in > half iff carry_in).  Kogge-Stone over the window
+    # axis: log2(nw) whole-(nw, n) steps instead of nw sequential rows.
+    gen = raw > half
+    prop = raw == half
+    shift = 1
+    while shift < nw:
+        gs = jnp.concatenate([jnp.zeros_like(gen[:shift]), gen[:-shift]], axis=0)
+        ps = jnp.concatenate([jnp.zeros_like(prop[:shift]), prop[:-shift]], axis=0)
+        gen = gen | (prop & gs)
+        prop = prop & ps
+        shift *= 2
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(gen[:1]), gen[:-1]], axis=0
+    ).astype(raw.dtype)
+    d = raw + carry_in
+    signed = jnp.where(d > half, d - full, d)
+    return jnp.concatenate([signed[:-1], d[-1:]], axis=0)
 
 
 _SCAN_CHUNK = 1 << 14
@@ -308,10 +327,12 @@ def _reduce_batched(pts4: jnp.ndarray) -> jnp.ndarray:
 
 
 def _chunk_shape(W: int, n: int) -> tuple[int, int]:
-    """Pick (chunks-per-window, steps): lanes ``W*nt`` near 2048-4096 keeps
-    each scan step VPU-wide; ``T = ceil(n/nt)`` sequential grid steps."""
+    """Pick (chunks-per-window, steps): lanes ``L = W*nt`` as wide as the
+    16 MB scoped-VMEM limit allows (measured on v5e: L=2688 compiles and
+    runs, L=3584 OOMs at 17.7 MB; throughput saturates ~11.6 M adds/s by
+    L~1792); ``T = ceil(n/nt)`` sequential grid steps."""
     nt = 1
-    while W * nt < 2048 and nt < n:
+    while W * nt * 2 <= 2688 and nt * 2 <= n:
         nt *= 2
     return nt, -(-n // nt)
 
@@ -395,13 +416,14 @@ def _horner_windows(window_sums: jnp.ndarray, c: int) -> jnp.ndarray:
     return acc[..., 0]
 
 
-def _msm_batched_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int):
+def _msm_batched_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int,
+                      bits: int = FIELD_BITS):
     """MSM with MXU reorder + window-batched bucket phase (n <= _PERM_MAX)."""
     n = scalars.shape[-1]
     B = (1 << (c - 1)) + 1
     rows_nlz = points.shape[1]
 
-    digits = _signed_digits(scalars, c)  # (nw, n)
+    digits = _signed_digits(scalars, c, bits)  # (nw, n)
     keys = jnp.abs(digits)
     negs = (digits < 0).astype(jnp.int32)
     pts_rows = points.reshape(3 * rows_nlz, n)
@@ -428,6 +450,32 @@ def _msm_batched_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int):
     return _horner_windows(window_sums, c)
 
 
+def _pack_rows16(points: jnp.ndarray) -> jnp.ndarray:
+    """Pack limb-row pairs into 16-bit fields of one int32: ``(3, R, n)`` ->
+    ``(3, ceil(R/2), n)``.  Halves the rows moved by the digit-order point
+    gather (TPU gathers are element-throughput-bound).  Valid for limb
+    values < 2^16 (canonical limbs are < 2^13; lazy carries stay well
+    under 2^16)."""
+    rows = points.shape[1]
+    if rows % 2:
+        points = jnp.concatenate(
+            [points, jnp.zeros_like(points[:, :1])], axis=1
+        )
+    lo = points[:, 0::2]
+    hi = points[:, 1::2]
+    return lo | (hi << 16)
+
+
+def _unpack_rows16(pk: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Inverse of :func:`_pack_rows16` over any trailing shape."""
+    lo = pk & 0xFFFF
+    hi = (pk >> 16) & 0xFFFF
+    out = jnp.stack([lo, hi], axis=2).reshape(
+        pk.shape[0], 2 * pk.shape[1], *pk.shape[2:]
+    )
+    return out[:, :rows]
+
+
 def _window_group(nw: int, n: int) -> int:
     """Windows per serial-path scan step: the largest divisor of ``nw`` whose
     group keeps the sorted-point + prefix tensors within ~3 GB of HBM
@@ -441,28 +489,40 @@ def _window_group(nw: int, n: int) -> int:
     return best
 
 
-def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = None):
+def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = None,
+                     bits: int = FIELD_BITS):
     """MSM over ``(NL, n)`` scalars and ``(3, NL, n)`` points -> ``(3, NL)``."""
     n = scalars.shape[-1]
     if c is None:
-        c = select_window(n)
+        c = select_window(n, bits)
     if 1 < n <= _PERM_MAX:
-        return _msm_batched_impl(scalars, points, c)
+        return _msm_batched_impl(scalars, points, c, bits)
     B = (1 << (c - 1)) + 1  # signed buckets: |digit| in [0, 2^(c-1)]
 
-    digits = _signed_digits(scalars, c)  # (nw, n) in [-2^(c-1), 2^(c-1)]
+    digits = _signed_digits(scalars, c, bits)  # (nw, n) in [-2^(c-1), 2^(c-1)]
     nw = digits.shape[0]
     keys = jnp.abs(digits)
-    order = jnp.argsort(keys, axis=-1)  # (nw, n)
-    d_sorted = jnp.take_along_axis(keys, order, axis=-1)
-    neg_sorted = jnp.take_along_axis(digits < 0, order, axis=-1)
+    # ONE multi-operand sort carries the signed digits along with the keys
+    # (vs argsort + two take_along_axis passes — TPU gathers run at ~2 GB/s,
+    # far below HBM bandwidth, so every avoided gather matters).
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (nw, n))
+    d_sorted, dig_sorted, order = jax.lax.sort(
+        (keys, digits, iota), dimension=-1, num_keys=1
+    )
     wg = _window_group(nw, n)
     grp = lambda a: a.reshape(nw // wg, wg, n)
 
+    # gather points in 16-bit-packed limb pairs: half the gathered rows
+    # (canonical/lazy limbs stay < 2^16)
+    pk = _pack_rows16(points)
+    nlz_rows = points.shape[1]
+
     def group_body(_, inputs):
-        order_g, d_g, neg_g = inputs  # (wg, n) each
-        pts = points[:, :, order_g]  # (3, NLZ, wg, n)
-        pts = cj._point_select(neg_g, _point_op_flat(kernels.point_neg, pts), pts)
+        order_g, d_g, dig_g = inputs  # (wg, n) each
+        pts = _unpack_rows16(pk[:, :, order_g], nlz_rows)  # (3, NLZ, wg, n)
+        pts = cj._point_select(
+            dig_g < 0, _point_op_flat(kernels.point_neg, pts), pts
+        )
         # cum_{j-1} for j = 1..B-1: last prefix position with digit <= j-1
         targets = jnp.arange(0, B - 1, dtype=d_g.dtype)
         pos = jax.vmap(
@@ -471,7 +531,7 @@ def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = 
         return None, _windowed_bucket_sums(pts, pos, B)  # (wg, 3, NLZ)
 
     _, wins = jax.lax.scan(
-        group_body, None, (grp(order), grp(d_sorted), grp(neg_sorted))
+        group_body, None, (grp(order), grp(d_sorted), grp(dig_sorted))
     )
     return _horner_windows(wins.reshape(nw, *wins.shape[2:]), c)
 
@@ -484,4 +544,73 @@ def msm_host_points(scalars, points, c: int | None = None):
     return cj.points_to_host(out[..., None])[0]
 
 
-msm_device = functools.partial(jax.jit, static_argnums=(2,))(_msm_device_impl)
+msm_device = functools.partial(jax.jit, static_argnums=(2, 3))(_msm_device_impl)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit scalar-chunk splitting against pre-shifted bases (fixed-generator
+# MSMs: IPP rounds, commitment MSMs).  Mirrors the native split tables
+# (native/bpcore.cpp bp_points_new_split): s*P = sum_j chunk_j(s) * (2^64j P),
+# so the Horner window-combine chain shrinks from 252 to 64 doublings and
+# the window count from ~18-50 to ~5 — the serial tail of the device MSM.
+# Bucket-phase work is invariant (4n points x 64 bits == n x 252).
+# ---------------------------------------------------------------------------
+
+SPLIT_CHUNK_BITS = 64
+SPLIT_CHUNKS = 4
+
+
+def split_points_device(points: jnp.ndarray) -> jnp.ndarray:
+    """``(3, NLZ, n)`` -> ``(3, NLZ, 4n)`` blocks [P | 2^64 P | 2^128 P | 2^192 P].
+
+    192 sequential full-width doublings (complete-formula adds); one-time
+    per generator set — cache the result next to the gens device arrays.
+    """
+    blocks = [points]
+    for _ in range(SPLIT_CHUNKS - 1):
+        p = blocks[-1]
+        for _ in range(SPLIT_CHUNK_BITS):
+            p = kernels.point_add(p, p)
+        blocks.append(p)
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def split_scalars_device(scalars: jnp.ndarray) -> jnp.ndarray:
+    """``(NL, n)`` -> ``(NL, 4n)``: chunk j holds bits [64j, 64j+64) in the
+    low limbs (block-major order matching :func:`split_points_device`)."""
+    n = scalars.shape[-1]
+    chunks = []
+    for j in range(SPLIT_CHUNKS):
+        rows = []
+        for t in range(NL):
+            lo = SPLIT_CHUNK_BITS * j + BASE_BITS * t
+            width = min(BASE_BITS, SPLIT_CHUNK_BITS * (j + 1) - lo)
+            if BASE_BITS * t >= SPLIT_CHUNK_BITS or lo >= FIELD_BITS + BASE_BITS:
+                rows.append(jnp.zeros((n,), dtype=scalars.dtype))
+                continue
+            # gather bits [lo, lo+width) of the original limb tensor
+            k, off = divmod(lo, BASE_BITS)
+            val = scalars[k] >> off if k < NL else jnp.zeros((n,), scalars.dtype)
+            got = BASE_BITS - off
+            k += 1
+            while got < width and k < NL:
+                take = min(BASE_BITS, width - got)
+                val = val | ((scalars[k] & ((1 << take) - 1)) << got)
+                got += take
+                k += 1
+            rows.append(val & ((1 << width) - 1))
+        chunks.append(jnp.stack(rows, axis=0))
+    return jnp.concatenate(chunks, axis=-1)
+
+
+def _msm_split_impl(scalars: jnp.ndarray, points4: jnp.ndarray,
+                    c: int | None = None):
+    """MSM of ``(NL, n)`` scalars against a pre-shifted ``(3, NLZ, 4n)``
+    table; 64-bit chunk windows."""
+    s4 = split_scalars_device(scalars)
+    if c is None:
+        c = select_window(s4.shape[-1], SPLIT_CHUNK_BITS)
+    return _msm_device_impl(s4, points4, c, SPLIT_CHUNK_BITS)
+
+
+msm_device_split = functools.partial(jax.jit, static_argnums=(2,))(_msm_split_impl)
