@@ -566,11 +566,14 @@ def split_points_device(points: jnp.ndarray) -> jnp.ndarray:
     192 sequential full-width doublings (complete-formula adds); one-time
     per generator set — cache the result next to the gens device arrays.
     """
+    def dbl(p, _):
+        return kernels.point_add(p, p), None
+
     blocks = [points]
     for _ in range(SPLIT_CHUNKS - 1):
-        p = blocks[-1]
-        for _ in range(SPLIT_CHUNK_BITS):
-            p = kernels.point_add(p, p)
+        # lax.scan keeps ONE point-add instance in the program (192 unrolled
+        # adds take minutes to compile on the CPU backend)
+        p, _ = jax.lax.scan(dbl, blocks[-1], None, length=SPLIT_CHUNK_BITS)
         blocks.append(p)
     return jnp.concatenate(blocks, axis=-1)
 

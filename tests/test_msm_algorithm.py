@@ -113,6 +113,49 @@ def test_select_window_monotone():
     assert 5 <= select_window(16) <= select_window(1 << 20) <= 16
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("BP_SLOW_TESTS"),
+    reason="~15 min of cold CPU compiles (192-step doubling scan + split "
+    "MSM); the same split math is pinned natively by tests/test_split_table"
+    ".py — set BP_SLOW_TESTS=1 to run the device variant",
+)
+def test_msm_device_split_matches_host():
+    """64-bit scalar-chunk split against pre-shifted bases (device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_bulletproof_tpu.ops import curve_jax as cj
+    from mpc_bulletproof_tpu.ops import msm as msm_mod
+
+    n = 8
+    g = StarkPoint.generator()
+    pts = [g.scalar_mul(Scalar(rng.getrandbits(64) + 1)) for _ in range(n)]
+    pts[1] = StarkPoint.identity()
+    scalars = [Scalar(rng.getrandbits(252)) for _ in range(n)]
+    scalars[0] = Scalar(0)
+    s = jnp.asarray(cj.scalars_from_host(scalars))
+    p = jnp.asarray(cj.points_from_host(pts))
+    p4 = jax.jit(msm_mod.split_points_device)(p)
+    out = msm_mod.msm_device_split(s, p4)
+    got = cj.points_to_host(out[..., None])[0]
+    assert got == StarkPoint.msm(scalars, pts)
+
+
+def test_msm_serial_path_matches_host(monkeypatch):
+    """The large-n path (multi-operand sort + packed gathers), forced at a
+    small width via _PERM_MAX."""
+    from mpc_bulletproof_tpu.ops import msm as msm_mod
+
+    monkeypatch.setattr(msm_mod, "_PERM_MAX", 4)
+    g = StarkPoint.generator()
+    n = 24
+    pts = [g.scalar_mul(Scalar(rng.getrandbits(260))) for _ in range(n)]
+    pts[2] = StarkPoint.identity()
+    scalars = [Scalar(rng.getrandbits(252)) for _ in range(n)]
+    got = msm_mod.msm_host_points(scalars, pts, 5)
+    assert got == StarkPoint.msm(scalars, pts)
+
+
 def _run_pallas_branch(monkeypatch, n: int, c: int):
     from mpc_bulletproof_tpu.ops import msm as msm_mod
 
