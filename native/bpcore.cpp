@@ -2381,6 +2381,40 @@ extern "C" void bp_commit_batch(const u8 *values, const u8 *blinds, size_t n,
     pt_to_affine_batch(ox, oy, oinf, out.data(), n);
 }
 
+// Single Pedersen commit with a pre-registered base context: one pointer
+// argument so the ctypes FFI overhead (~2 us/arg) stops dominating the
+// ~3 us table walk.  io layout: v(32) | blind(32) | out_x(32) | out_y(32)
+// | out_inf(1).
+struct CommitCtx {
+    FixedBaseTable t1;   // owned copies: the global slots can be evicted
+    FixedBaseTable t2;
+};
+
+extern "C" void *bp_commit_ctx_new(const u8 *bx, const u8 *by,
+                                   const u8 *b2x, const u8 *b2y) {
+    Fp B_x, B_y, B2_x, B2_y;
+    fp_from_bytes(B_x, bx); fp_from_bytes(B_y, by);
+    fp_from_bytes(B2_x, b2x); fp_from_bytes(B2_y, b2y);
+    CommitCtx *ctx = new CommitCtx();
+    {
+        std::lock_guard<std::mutex> lk(g_fb_mutex);
+        int s1, s2;
+        ctx->t1 = fb_table_locked(B_x, B_y, -1, s1);
+        ctx->t2 = fb_table_locked(B2_x, B2_y, s1, s2);
+    }
+    return ctx;
+}
+
+extern "C" void bp_commit_ctx_free(void *ctx) { delete (CommitCtx *)ctx; }
+
+extern "C" void bp_commit_one(void *ctx_p, u8 *io) {
+    CommitCtx *ctx = (CommitCtx *)ctx_p;
+    Pt acc = PT_IDENT;
+    fb_mul_acc(acc, ctx->t1, io);
+    fb_mul_acc(acc, ctx->t2, io + 32);
+    pt_to_affine(io + 64, io + 96, io + 128, acc);
+}
+
 // Fixed-base mul through the table cache ONLY if already built (callers
 // fall back to the untabled path on miss — building a table for a one-off
 // base would cost more than it saves).  Returns 1 on hit.
