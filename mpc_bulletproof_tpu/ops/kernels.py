@@ -11,9 +11,16 @@ Every kernel wraps the straight-line limb math from :mod:`.limb` /
 * **locality** — the whole add runs out of VMEM registers; XLA would
   materialize dozens of (3, 20, n) intermediates in HBM.
 
-Blocks are ``(3, NL, T)`` / ``(NL, T)`` tiles with the batch on the lane
-dimension (see :mod:`.limb` for the layout rationale).  On CPU backends the
-kernels run through the Pallas interpreter, so the exact same code path is
+Blocks are ``(3, NL, 8, 128)`` / ``(NL, 8, 128)`` tiles: the batch is split
+over BOTH the sublane and lane dimensions (a "granule" of 8*128 = 1024
+elements), with the limb index as a plain outer axis.  The earlier
+``(rows, lanes)`` layout put limbs on sublanes, so every per-limb-row
+operation — the Montgomery REDC inner loop is ~500 of them per point add —
+ran as a 1-sublane vector op at 1/8 VPU utilization (measured 11.6 M
+point-adds/s, 23% VPU).  With the batch granule owning the full (8, 128)
+vector register, per-row ops are full-width; the reshape from the HBM-side
+``(rows, n)`` layout is free (row-major view).  On CPU backends the kernels
+run through the Pallas interpreter, so the exact same code path is
 exercised by the test suite's virtual 8-device CPU mesh.
 
 Modulus constants are passed as kernel operands (Mosaic forbids captured
@@ -33,8 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 from . import curve_jax, limb
 from .limb import FP, FR, NL, NLZ, ModParams
 
-# Lane tile: full vector-register width.
-_TILE = 256
+# Batch granule: one full (sublane, lane) vector register of batch elements.
+_SUB = 8
+_LANE = 128
+_GRAN = _SUB * _LANE  # 1024
 
 
 def _interpret() -> bool:
@@ -44,9 +53,9 @@ def _interpret() -> bool:
 def _pad_lanes(x: jnp.ndarray, mult: int) -> tuple[jnp.ndarray, int]:
     """Pad the lane (last) dim up to a multiple of ``mult``.
 
-    Everything below one tile pads to a full tile: Mosaic compiles one
+    Everything below one granule pads to a full granule: Mosaic compiles one
     kernel per distinct block shape and the Montgomery point-add kernel is
-    expensive to compile, so ONE shape serves every small width (<= 255
+    expensive to compile, so ONE shape serves every small width (<= 1023
     wasted lanes, negligible work)."""
     n = x.shape[-1]
     padded = (n + mult - 1) // mult * mult
@@ -56,19 +65,35 @@ def _pad_lanes(x: jnp.ndarray, mult: int) -> tuple[jnp.ndarray, int]:
     return x, n
 
 
-def _mp_operands(mp: ModParams, t: int):
-    # Constants are pre-broadcast to the tile width: Mosaic cannot lower the
-    # scalar->2D broadcasts that (NL, 1) columns would otherwise induce.
+def _gran_split(x: jnp.ndarray) -> jnp.ndarray:
+    """``(..., g*GRAN)`` -> ``(..., g, SUB, LANE)`` (free row-major view)."""
+    return x.reshape(*x.shape[:-1], x.shape[-1] // _GRAN, _SUB, _LANE)
+
+
+def _bcast_const(a, rows: int, s: int = _SUB) -> jnp.ndarray:
+    """Constant ``(rows, 1)`` limb column -> ``(rows, s, LANE)`` operand.
+
+    Pre-broadcast on the host: Mosaic cannot lower the multi-axis
+    broadcasts that (rows, 1, 1) columns would otherwise induce.  ``s``
+    matches the batch sublane count of the kernel's data blocks (constants
+    must broadcast against the batch shape)."""
+    col = jnp.asarray(a).reshape(rows, 1, 1)
+    return jnp.broadcast_to(col, (rows, s, _LANE))
+
+
+def _mp_operands(mp: ModParams, s: int = _SUB):
     return (
-        jnp.broadcast_to(jnp.asarray(mp.m), (NL, t)),
-        jnp.broadcast_to(jnp.asarray(mp.m21), (NL + 1, t)),
-        jnp.broadcast_to(jnp.asarray(mp.mu), (NL + 1, t)),
+        _bcast_const(mp.m, NL, s),
+        _bcast_const(mp.m21, NL + 1, s),
+        _bcast_const(mp.mu, NL + 1, s),
     )
 
 
-def _mp_specs(t: int):
-    cs = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    return [cs((NL, t)), cs((NL + 1, t)), cs((NL + 1, t))]
+def _mp_specs(s: int = _SUB):
+    cs = lambda rows: pl.BlockSpec(
+        (rows, s, _LANE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return [cs(NL), cs(NL + 1), cs(NL + 1)]
 
 
 def _kernel_mp(m_ref, m21_ref, mu_ref, modulus: int) -> ModParams:
@@ -85,19 +110,20 @@ def _kernel_mp(m_ref, m21_ref, mu_ref, modulus: int) -> ModParams:
 _B3_LIMBS = limb.int_to_limbs_np(curve_jax._B3_MONT, NLZ)
 
 
-def _curve_operands(t: int):
-    bc = lambda a, rows: jnp.broadcast_to(jnp.asarray(a), (rows, t))
+def _curve_operands(s: int = _SUB):
     return (
-        bc(FP.m, NL),
-        bc(_B3_LIMBS, NLZ),
-        bc(FP.k8, NLZ),
-        bc(FP.k16, NLZ),
-        bc(FP.k32, NLZ),
+        _bcast_const(FP.m, NL, s),
+        _bcast_const(_B3_LIMBS, NLZ, s),
+        _bcast_const(FP.k8, NLZ, s),
+        _bcast_const(FP.k16, NLZ, s),
+        _bcast_const(FP.k32, NLZ, s),
     )
 
 
-def _curve_specs(t: int):
-    cs = lambda rows: pl.BlockSpec((rows, t), lambda i: (0, 0), memory_space=pltpu.VMEM)
+def _curve_specs(s: int = _SUB):
+    cs = lambda rows: pl.BlockSpec(
+        (rows, s, _LANE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
     return [cs(NL), cs(NLZ), cs(NLZ), cs(NLZ), cs(NLZ)]
 
 
@@ -117,25 +143,32 @@ def _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref):
 
 def _padd_kernel(m_ref, b3_ref, k8_ref, k16_ref, k32_ref, a_ref, b_ref, o_ref):
     ctx = _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref)
-    o_ref[...] = curve_jax._point_add(a_ref[...], b_ref[...], ctx)
+    # squeeze the singleton granule-grid dim so batch ranks match the
+    # (rows, SUB, LANE) constants
+    a = a_ref[...].reshape(3, NLZ, _SUB, _LANE)
+    b = b_ref[...].reshape(3, NLZ, _SUB, _LANE)
+    o_ref[...] = curve_jax._point_add(a, b, ctx).reshape(o_ref.shape)
 
 
 @jax.jit
 def point_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Complete point addition over ``(3, NLZ, n)`` lazy batches (RCB16)."""
-    a, n = _pad_lanes(a, _TILE)
-    b, _ = _pad_lanes(b, _TILE)
-    t = min(_TILE, a.shape[-1])
-    pts_spec = pl.BlockSpec((3, NLZ, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    a, n = _pad_lanes(a, _GRAN)
+    b, _ = _pad_lanes(b, _GRAN)
+    a3 = _gran_split(a)
+    b3 = _gran_split(b)
+    pts_spec = pl.BlockSpec(
+        (3, NLZ, 1, _SUB, _LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         _padd_kernel,
-        out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
-        grid=(a.shape[-1] // t,),
-        in_specs=_curve_specs(t) + [pts_spec, pts_spec],
+        out_shape=jax.ShapeDtypeStruct(a3.shape, jnp.int32),
+        grid=(a3.shape[2],),
+        in_specs=_curve_specs() + [pts_spec, pts_spec],
         out_specs=pts_spec,
         interpret=_interpret(),
-    )(*_curve_operands(t), a, b)
-    return out[..., :n]
+    )(*_curve_operands(), a3, b3)
+    return out.reshape(3, NLZ, -1)[..., :n]
 
 
 def point_double(a: jnp.ndarray) -> jnp.ndarray:
@@ -149,7 +182,7 @@ def point_double(a: jnp.ndarray) -> jnp.ndarray:
 def _pscan_kernel(m_ref, b3_ref, k8_ref, k16_ref, k32_ref, x_ref, o_ref, carry_ref):
     ctx = _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref)
     i = pl.program_id(0)
-    x = x_ref[...].reshape(3, NLZ, x_ref.shape[-1])
+    x = x_ref[...].reshape(carry_ref.shape)
 
     @pl.when(i == 0)
     def _first():
@@ -174,24 +207,27 @@ def point_scan_steps(x: jnp.ndarray) -> jnp.ndarray:
     there and fix up chunk offsets separately (see ops/msm.py).
     """
     _, T, _, L0 = x.shape
-    if L0 % 128:
-        L = (L0 + 127) // 128 * 128
+    if L0 % _GRAN:
+        L = (L0 + _GRAN - 1) // _GRAN * _GRAN
         x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, L - L0)])
     else:
         L = L0
+    S = L // _LANE
+    x5 = x.reshape(3, T, NLZ, S, _LANE)
     spec = pl.BlockSpec(
-        (3, 1, NLZ, L), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        (3, 1, NLZ, S, _LANE), lambda i: (0, i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         _pscan_kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(x5.shape, jnp.int32),
         grid=(T,),
-        in_specs=_curve_specs(L) + [spec],
+        in_specs=_curve_specs(S) + [spec],
         out_specs=spec,
-        scratch_shapes=[pltpu.VMEM((3, NLZ, L), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((3, NLZ, S, _LANE), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(*_curve_operands(L), x)
-    return out[..., :L0]
+    )(*_curve_operands(S), x5)
+    return out.reshape(3, T, NLZ, L)[..., :L0]
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +237,9 @@ def point_scan_steps(x: jnp.ndarray) -> jnp.ndarray:
 def _make_vec2_kernel(op):
     def kernel(m_ref, m21_ref, mu_ref, a_ref, b_ref, o_ref):
         mp = _kernel_mp(m_ref, m21_ref, mu_ref, 0)
-        o_ref[...] = op(a_ref[...], b_ref[...], mp)
+        a = a_ref[...].reshape(NL, _SUB, _LANE)
+        b = b_ref[...].reshape(NL, _SUB, _LANE)
+        o_ref[...] = op(a, b, mp).reshape(o_ref.shape)
 
     return kernel
 
@@ -217,19 +255,22 @@ def _vec2(opname: str, a: jnp.ndarray, b: jnp.ndarray, mp: ModParams) -> jnp.nda
     """Elementwise binary modular op over ``(NL, n)`` with broadcasting of b."""
     if b.ndim == a.ndim and b.shape[-1] == 1 and a.shape[-1] != 1:
         b = jnp.broadcast_to(b, a.shape)
-    a, n = _pad_lanes(a, _TILE)
-    b, _ = _pad_lanes(b, _TILE)
-    t = min(_TILE, a.shape[-1])
-    spec = pl.BlockSpec((NL, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+    a, n = _pad_lanes(a, _GRAN)
+    b, _ = _pad_lanes(b, _GRAN)
+    a3 = _gran_split(a)
+    b3 = _gran_split(b)
+    spec = pl.BlockSpec(
+        (NL, 1, _SUB, _LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         _VEC2_KERNELS[opname],
-        out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
-        grid=(a.shape[-1] // t,),
-        in_specs=_mp_specs(t) + [spec, spec],
+        out_shape=jax.ShapeDtypeStruct(a3.shape, jnp.int32),
+        grid=(a3.shape[1],),
+        in_specs=_mp_specs() + [spec, spec],
         out_specs=spec,
         interpret=_interpret(),
-    )(*_mp_operands(mp, t), a, b)
-    return out[..., :n]
+    )(*_mp_operands(mp), a3, b3)
+    return out.reshape(NL, -1)[..., :n]
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
