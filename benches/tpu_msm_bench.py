@@ -43,14 +43,21 @@ def gen_points(key, n):
     return jax.random.randint(key, (3, NLZ, n), 0, 1 << 13, jnp.int32)
 
 
-def bench_msm(n, reps=3):
+def bench_msm(n, reps=3, affine=True):
+    """Affine=True matches real workloads: every host-fed MSM (verifier
+    mega-check, IPP inputs, generators) carries affine-or-identity points."""
     c = msm.select_window(n)
+
+    from mpc_bulletproof_tpu.ops import curve_jax as cj
 
     @jax.jit
     def run(key):
         s = gen_scalars(key, n)
         p = gen_points(jax.random.fold_in(key, 1), n)
-        return msm._msm_device_impl(s, p, c)
+        if affine:
+            one = cj.identity(())[1]  # mont_one limbs
+            p = p.at[2].set(jnp.broadcast_to(one[:, None], (NLZ, n)))
+        return msm._msm_device_impl(s, p, c, affine=affine)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -63,14 +70,16 @@ def bench_msm(n, reps=3):
         ts.append(time.time() - t0)
     net = min(ts) - DISPATCH_S
     print(
-        f"MSM n=2^{n.bit_length() - 1} ({n}) c={c}: net {net * 1e3:.0f} ms"
+        f"MSM n=2^{n.bit_length() - 1} ({n}) c={c} affine={affine}:"
+        f" net {net * 1e3:.0f} ms"
         f" -> {n / max(net, 1e-9) / 1e6:.3f} Mpoints/s (compile {comp:.0f}s)",
         flush=True,
     )
 
 
 if __name__ == "__main__":
+    affine = os.environ.get("BENCH_AFFINE", "1") != "0"
     sizes = [int(a) for a in sys.argv[1:]] or [12, 16, 18, 20]
     print("backend:", jax.default_backend(), flush=True)
     for ln in sizes:
-        bench_msm(1 << ln)
+        bench_msm(1 << ln, affine=affine)

@@ -107,6 +107,7 @@ def _program(n: int, m: int):
             jnp.concatenate([sL, sR], axis=-1),
             jnp.concatenate([G_pts, H_pts], axis=-1),
             c_big,
+            affine=True,  # G/H are points_from_host generators
         )
         S_pt = cj._point_add(S_msm[..., None], S_blind)
 

@@ -68,7 +68,7 @@ def dispatch_msm(scalars, points):
 
             s = jnp.asarray(cj.scalars_from_host(scalars))
             p = jnp.asarray(cj.points_from_host(points))
-            out = sharded.sharded_msm(s, p, mesh)
+            out = sharded.sharded_msm(s, p, mesh, affine=True)
             return cj.points_to_host(out[..., None])[0]
         from . import msm as msm_mod
 

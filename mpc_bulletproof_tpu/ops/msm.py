@@ -476,6 +476,59 @@ def _unpack_rows16(pk: jnp.ndarray, rows: int) -> jnp.ndarray:
     return out[:, :rows]
 
 
+# Measured on v5e: row-major gathers of <= 24 int32 per record run at
+# 95-176 M records/s; 32-row records collapse to ~25 M/s (the record no
+# longer fits whatever the gather engine moves per descriptor).  All
+# digit-order point gathers therefore move row-major tables whose record
+# width stays under this cliff.
+_GATHER_ROW_SPLIT = 16
+
+
+def _rows_affine_table(points: jnp.ndarray):
+    """``(3, NLZ, n)`` affine-or-identity points -> ``(n, 2P+1)`` row table.
+
+    Affine device points (everything :func:`.curve_jax.points_from_host`
+    produces: decompressed proof points, generators) have ``z`` equal to
+    the Montgomery-form 1 (limbs of ``FP.mont_r``) — or 0 for the identity.
+    Only x, y (16-bit packed) plus a one-row identity indicator need to be
+    gathered; z is rebuilt from the constant.  21 rows instead of 30 —
+    under the 24-row gather cliff, so ONE gather serves the whole point.
+    """
+    n = points.shape[-1]
+    pk = _pack_rows16(points[:2])  # (2, P, n)
+    nz = jnp.any(points[2] != 0, axis=0).astype(jnp.int32)  # 0 iff identity
+    rows = jnp.concatenate([pk.reshape(-1, n), nz[None]], axis=0)
+    return rows.T  # (n, 2P+1)
+
+
+_MONT_ONE_LIMBS = cj.identity(())[1]  # (NLZ,) limbs of R = 1 in Montgomery form
+
+
+def _rows_affine_fetch(table: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
+    """Gather ``order`` (any shape) rows -> points ``(3, NLZ, *order.shape)``."""
+    g = jnp.moveaxis(table[order], -1, 0)  # (2P+1, *order.shape)
+    p2 = (g.shape[0] - 1) // 2
+    rows_nlz = _MONT_ONE_LIMBS.shape[0]
+    xy = _unpack_rows16(g[: 2 * p2].reshape(2, p2, *g.shape[1:]), rows_nlz)
+    one = _MONT_ONE_LIMBS.reshape(rows_nlz, *([1] * (g.ndim - 1)))
+    z = one * g[2 * p2][None]
+    return jnp.concatenate([xy, z[None]], axis=0)
+
+
+def _rows_general_table(points: jnp.ndarray):
+    """``(3, R, n)`` projective points -> two row tables each <= 16 wide."""
+    n = points.shape[-1]
+    flat = _pack_rows16(points).reshape(-1, n).T  # (n, 3P)
+    return flat[:, :_GATHER_ROW_SPLIT], flat[:, _GATHER_ROW_SPLIT:]
+
+
+def _rows_general_fetch(tables, order: jnp.ndarray, rows_nlz: int) -> jnp.ndarray:
+    ta, tb = tables
+    g = jnp.concatenate([ta[order], tb[order]], axis=-1)
+    rows = jnp.moveaxis(g, -1, 0)  # (3P, *order.shape)
+    return _unpack_rows16(rows.reshape(3, -1, *rows.shape[1:]), rows_nlz)
+
+
 def _window_group(nw: int, n: int) -> int:
     """Windows per serial-path scan step: the largest divisor of ``nw`` whose
     group keeps the sorted-point + prefix tensors within ~3 GB of HBM
@@ -490,8 +543,13 @@ def _window_group(nw: int, n: int) -> int:
 
 
 def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = None,
-                     bits: int = FIELD_BITS):
-    """MSM over ``(NL, n)`` scalars and ``(3, NL, n)`` points -> ``(3, NL)``."""
+                     bits: int = FIELD_BITS, affine: bool = False):
+    """MSM over ``(NL, n)`` scalars and ``(3, NL, n)`` points -> ``(3, NL)``.
+
+    ``affine=True`` promises every point has ``z in {0, mont_one}`` (the
+    :func:`.curve_jax.points_from_host` invariant) and gathers 21-row
+    records instead of 30 (see the gather-cliff note above).
+    """
     n = scalars.shape[-1]
     if c is None:
         c = select_window(n, bits)
@@ -512,14 +570,19 @@ def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = 
     wg = _window_group(nw, n)
     grp = lambda a: a.reshape(nw // wg, wg, n)
 
-    # gather points in 16-bit-packed limb pairs: half the gathered rows
-    # (canonical/lazy limbs stay < 2^16)
-    pk = _pack_rows16(points)
+    # gather points as row-major records (digit-order point transport is
+    # the dominant MSM cost on TPU; see the gather-cliff note above)
     nlz_rows = points.shape[1]
+    if affine:
+        table = _rows_affine_table(points)
+        fetch = lambda og: _rows_affine_fetch(table, og)
+    else:
+        tables = _rows_general_table(points)
+        fetch = lambda og: _rows_general_fetch(tables, og, nlz_rows)
 
     def group_body(_, inputs):
         order_g, d_g, dig_g = inputs  # (wg, n) each
-        pts = _unpack_rows16(pk[:, :, order_g], nlz_rows)  # (3, NLZ, wg, n)
+        pts = fetch(order_g)  # (3, NLZ, wg, n)
         pts = cj._point_select(
             dig_g < 0, _point_op_flat(kernels.point_neg, pts), pts
         )
@@ -539,12 +602,12 @@ def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = 
 def msm_host_points(scalars, points, c: int | None = None):
     """Host API: lists of ``Scalar`` / ``StarkPoint`` -> ``StarkPoint``, on TPU."""
     s = cj.scalars_from_host(scalars)
-    p = cj.points_from_host(points)
-    out = msm_device(s, p, c)
+    p = cj.points_from_host(points)  # affine-or-identity by construction
+    out = msm_device(s, p, c, FIELD_BITS, True)
     return cj.points_to_host(out[..., None])[0]
 
 
-msm_device = functools.partial(jax.jit, static_argnums=(2, 3))(_msm_device_impl)
+msm_device = functools.partial(jax.jit, static_argnums=(2, 3, 4))(_msm_device_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -92,7 +92,8 @@ def _tree_sum(pts):
     return pts
 
 
-def sharded_msm(scalars, points, mesh: Mesh, c: int | None = None, axis: str = "dp"):
+def sharded_msm(scalars, points, mesh: Mesh, c: int | None = None, axis: str = "dp",
+                affine: bool = False):
     """Pippenger MSM sharded over ``axis``: per-device buckets, partial
     results folded across devices (>= 80% 2-host scaling by construction —
     communication is one point per device).
@@ -112,7 +113,7 @@ def sharded_msm(scalars, points, mesh: Mesh, c: int | None = None, axis: str = "
         c = msm_mod.select_window(max(1, n // ndev))
 
     def local(s_loc, p_loc):
-        partial = msm_mod._msm_device_impl(s_loc, p_loc, c)  # (3, NL)
+        partial = msm_mod._msm_device_impl(s_loc, p_loc, c, affine=affine)  # (3, NL)
         gathered = jax.lax.all_gather(partial, axis)  # (ndev, 3, NL)
         stacked = jnp.moveaxis(gathered, 0, -1)
         return _tree_sum(stacked)[..., 0]
