@@ -70,6 +70,7 @@ def default_ctx():
     return types.SimpleNamespace(
         m=jnp.asarray(FP.m),
         m_prime=FP.m_prime,
+        sparse_limbs=FP.sparse_limbs,
         b3=jnp.asarray(int_to_limbs_np(_B3_MONT, NLZ)),
         k8=jnp.asarray(FP.k8),
         k16=jnp.asarray(FP.k16),

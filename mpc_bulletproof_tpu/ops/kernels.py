@@ -133,6 +133,7 @@ def _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref):
     return types.SimpleNamespace(
         m=m_ref[...],
         m_prime=FP.m_prime,
+        sparse_limbs=FP.sparse_limbs,  # static: multiply-free REDC
         b3=b3_ref[...],
         k8=k8_ref[...],
         k16=k16_ref[...],

@@ -110,6 +110,23 @@ class ModParams:
         self.mont_r = (1 << (BASE_BITS * NLZ)) % modulus
         self.mont_r_inv = pow(self.mont_r, -1, modulus)
         self.m_prime = (-pow(modulus, -1, BASE)) % BASE  # -m^-1 mod beta
+        # Sparse-REDC structure: when every nonzero limb of m above limb 0
+        # is a power of two, limb 0 == 1, and m' == beta-1 (i.e. m = 1 mod
+        # beta), the REDC inner loop needs NO multiplies: u = (-c) & MASK
+        # and the u*m axpy is a handful of shift-adds.  The STARK base
+        # field p = 2^251 + 17*2^192 + 1 qualifies (limbs {0:1, 14:2^10,
+        # 15:2^1, 19:2^4}); see _redc.
+        shifts = []
+        ok = self.m_prime == MASK and int(self.m[0, 0]) == 1
+        for i in range(1, NL):
+            v = int(self.m[i, 0])
+            if v == 0:
+                continue
+            if v & (v - 1):
+                ok = False
+                break
+            shifts.append((i, v.bit_length() - 1))
+        self.sparse_limbs = tuple(shifts) if ok else None
 
     def __repr__(self):
         return f"ModParams(0x{self.modulus:x})"
@@ -517,6 +534,25 @@ def _redc(wide: jnp.ndarray, ctx) -> jnp.ndarray:
     mp_int = ctx.m_prime
     m_rows = ctx.m  # (NL, ...) canonical limbs
     w, m_rows = _broadcast_batch(wide, m_rows)
+    sparse = getattr(ctx, "sparse_limbs", None)
+    if sparse:
+        # Multiply-free REDC for sparse power-of-two moduli (the STARK base
+        # prime): m' == beta-1 makes u = (-c_i) & MASK, and the u*m axpy is
+        # one shift-add per nonzero limb of m.  Row-value bound: row j
+        # receives at most one contribution per (k, shift) pair — here
+        # u<<10 + u<<1 + u<<4 < 2^23.2 — plus its post-sweep SN value, well
+        # inside int32; carries stay < 2^11.
+        rows = [w[i] for i in range(w.shape[0])]
+        carry = jnp.zeros_like(rows[0])
+        for i in range(NLZ):
+            c_i = rows[i] + carry
+            u = (-c_i) & MASK
+            carry = (c_i + u) >> BASE_BITS
+            for k, sh in sparse:
+                rows[i + k] = rows[i + k] + (u << sh)
+        rows[NLZ] = rows[NLZ] + carry
+        res = jnp.stack(rows[NLZ:], axis=0)
+        return _sn_sweeps(res, NLZ, 2)
     # Limb i is never written back: after its step its entire value lives
     # in the carry.  Two emissions of the same recurrence:
     # * Mosaic (inside pallas kernels): per-row scalar updates — no
