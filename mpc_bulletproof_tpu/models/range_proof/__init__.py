@@ -45,6 +45,36 @@ def _msm(scalars, points) -> StarkPoint:
     return backend.dispatch_msm(scalars, points)
 
 
+def _split_mega_check(split, nm, g_scalars, h_scalars, scalars, points, m):
+    """Mega-check MSM with the fixed-base part (G, H, B, B_blinding) routed
+    through a cached native split table.
+
+    ``scalars``/``points`` follow the `_verification_terms` layout
+    ``[A, S, T1, T2, V..., B, B_blinding, L..., R...]``; B / B_blinding sit
+    at ``4 + m`` and are lifted into the table MSM, the remaining (small)
+    variable-base part runs through the regular dispatcher.
+    """
+    import numpy as np
+
+    table, g_off, h_off, b_idx, bb_idx = split
+    bpos = 4 + m
+    idx = np.concatenate(
+        [
+            np.arange(g_off, g_off + nm, dtype=np.uint32),
+            np.arange(h_off, h_off + nm, dtype=np.uint32),
+            np.asarray([b_idx, bb_idx], dtype=np.uint32),
+        ]
+    )
+    fixed = table.msm(
+        list(g_scalars) + list(h_scalars) + [scalars[bpos], scalars[bpos + 1]],
+        idx,
+    )
+    rest = _msm(
+        scalars[:bpos] + scalars[bpos + 2 :], points[:bpos] + points[bpos + 2 :]
+    )
+    return fixed + rest
+
+
 def _party_map(fn, items):
     """Map over parties, threaded when it pays (native calls drop the GIL)."""
     if len(items) < 4:
@@ -161,12 +191,22 @@ class RangeProof:
             bp_gens, pc_gens, transcript, value_commitments, n
         )
         m = len(value_commitments)
-        G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
-        H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
         g_scalars, h_scalars = g_h_scalars
-        mega_check = _msm(
-            scalars + g_scalars + h_scalars, points + G + H
-        )
+        split = bp_gens.split_table(n, m, pc_gens)
+        if split is not None:
+            # Fixed-base part (G, H, B, B_blinding — all but ~m+4+2lg(nm)
+            # points of the mega-check) through the cached native split
+            # table: no per-verify generator list building/packing, and the
+            # 64-bit-chunk MSM's combine chain is 64 not 252 doublings.
+            mega_check = _split_mega_check(
+                split, n * m, g_scalars, h_scalars, scalars, points, m
+            )
+        else:
+            G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
+            H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
+            mega_check = _msm(
+                scalars + g_scalars + h_scalars, points + G + H
+            )
         if not mega_check.is_identity():
             raise VerificationError("range proof failed verification")
 
@@ -354,12 +394,28 @@ class RangeProof:
                     uniq_scalars.append(rho * s % MOD)
                     uniq_points.append(p)
 
-        G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
-        H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
-        mega = _msm(
-            uniq_scalars + [b_acc, bb_acc] + g_acc + h_acc,
-            uniq_points + [pc_gens.B, pc_gens.B_blinding] + G + H,
-        )
+        split = bp_gens.split_table(n, m, pc_gens)
+        if split is not None:
+            import numpy as np
+
+            table, g_off, h_off, b_idx, bb_idx = split
+            idx = np.concatenate(
+                [
+                    np.arange(g_off, g_off + nm, dtype=np.uint32),
+                    np.arange(h_off, h_off + nm, dtype=np.uint32),
+                    np.asarray([b_idx, bb_idx], dtype=np.uint32),
+                ]
+            )
+            mega = table.msm(g_acc + h_acc + [b_acc, bb_acc], idx) + _msm(
+                uniq_scalars, uniq_points
+            )
+        else:
+            G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
+            H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
+            mega = _msm(
+                uniq_scalars + [b_acc, bb_acc] + g_acc + h_acc,
+                uniq_points + [pc_gens.B, pc_gens.B_blinding] + G + H,
+            )
         if not mega.is_identity():
             raise VerificationError("batch verification failed")
 

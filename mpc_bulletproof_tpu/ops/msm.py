@@ -58,10 +58,11 @@ def select_window(n: int, bits: int = FIELD_BITS) -> int:
     boundary term is 2*2^(c-1) = 2^c: 2^(c-1) gathers for the suffix sums
     plus the same again in the reduction tree.)
     """
-    # c is capped at 14: the c=16 program at n=2^20 crosses the axon
-    # remote-compile payload limit for a ~1.07x model gain.
+    # Cap c at 16: measured on v5e at n=2^20, c=16 beats c=14 by 1.07x
+    # (1.77 vs 1.65 Mpoints/s); c=15 regresses (1.45) and c=17's 2^16-bucket
+    # boundary phase eats the window savings.
     best_c, best_cost = 5, None
-    for c in range(5, 15):
+    for c in range(5, 17):
         if bits % c > c - 2:
             # top window must stay within the signed bucket range [0, 2^(c-1)]
             # (bits % c == 0 or c-1 would let it reach ~2^c)
@@ -484,21 +485,59 @@ def _unpack_rows16(pk: jnp.ndarray, rows: int) -> jnp.ndarray:
 _GATHER_ROW_SPLIT = 16
 
 
+_PACK13_WORDS = 8  # canonical coords < p < 2^252 fit 8 dense 32-bit words
+
+
+def _pack13(coord: jnp.ndarray) -> jnp.ndarray:
+    """Canonical ``(NLZ, n)`` 13-bit limbs (value < 2^252) -> ``(8, n)``
+    dense 32-bit words (bit k of the value lands in word k//32 bit k%32)."""
+    words = []
+    for w in range(_PACK13_WORDS):
+        lo = 32 * w
+        acc = None
+        for i in range(lo // BASE_BITS, min(NL, -(-(lo + 32) // BASE_BITS))):
+            sh = BASE_BITS * i - lo
+            term = coord[i] << sh if sh >= 0 else coord[i] >> (-sh)
+            acc = term if acc is None else acc | term
+        words.append(acc)
+    return jnp.stack(words)
+
+
+def _unpack13(words: jnp.ndarray, rows_nlz: int) -> jnp.ndarray:
+    """Inverse of :func:`_pack13` over any batch shape (top limbs zero).
+
+    Int32-sign-safe: every partial extraction masks to the bits actually
+    taken from its word before OR-ing the continuation bits."""
+    limbs = []
+    for i in range(NL):
+        lo = BASE_BITS * i
+        k, off = divmod(lo, 32)
+        take = min(BASE_BITS, 32 - off)
+        v = (words[k] >> off) & ((1 << take) - 1)
+        if take < BASE_BITS and k + 1 < _PACK13_WORDS:
+            v = v | ((words[k + 1] & ((1 << (BASE_BITS - take)) - 1)) << take)
+        limbs.append(v)
+    limbs.extend([jnp.zeros_like(limbs[0])] * (rows_nlz - NL))
+    return jnp.stack(limbs)
+
+
 def _rows_affine_table(points: jnp.ndarray):
-    """``(3, NLZ, n)`` affine-or-identity points -> ``(n, 2P+1)`` row table.
+    """``(3, NLZ, n)`` affine-or-identity points -> ``(n, 16)`` row table.
 
     Affine device points (everything :func:`.curve_jax.points_from_host`
     produces: decompressed proof points, generators) have ``z`` equal to
-    the Montgomery-form 1 (limbs of ``FP.mont_r``) — or 0 for the identity.
-    Only x, y (16-bit packed) plus a one-row identity indicator need to be
-    gathered; z is rebuilt from the constant.  21 rows instead of 30 —
-    under the 24-row gather cliff, so ONE gather serves the whole point.
+    the Montgomery-form 1 (limbs of ``FP.mont_r``) — or 0 for the identity
+    — and canonical coordinates < p < 2^252.  x and y therefore pack into
+    8 dense 32-bit words each, and the identity indicator rides in x's
+    spare bit 252 (word 7 bit 28): a 16-int32 record, well under the
+    24-row gather cliff, ONE gather per point, 30% less gather traffic
+    than 16-bit limb-pair packing.
     """
-    n = points.shape[-1]
-    pk = _pack_rows16(points[:2])  # (2, P, n)
+    px = _pack13(points[0])  # (8, n)
+    py = _pack13(points[1])
     nz = jnp.any(points[2] != 0, axis=0).astype(jnp.int32)  # 0 iff identity
-    rows = jnp.concatenate([pk.reshape(-1, n), nz[None]], axis=0)
-    return rows.T  # (n, 2P+1)
+    px = px.at[7].set(px[7] | (nz << 28))
+    return jnp.concatenate([px, py], axis=0).T  # (n, 16)
 
 
 _MONT_ONE_LIMBS = cj.identity(())[1]  # (NLZ,) limbs of R = 1 in Montgomery form
@@ -506,13 +545,15 @@ _MONT_ONE_LIMBS = cj.identity(())[1]  # (NLZ,) limbs of R = 1 in Montgomery form
 
 def _rows_affine_fetch(table: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
     """Gather ``order`` (any shape) rows -> points ``(3, NLZ, *order.shape)``."""
-    g = jnp.moveaxis(table[order], -1, 0)  # (2P+1, *order.shape)
-    p2 = (g.shape[0] - 1) // 2
+    g = jnp.moveaxis(table[order], -1, 0)  # (16, *order.shape)
     rows_nlz = _MONT_ONE_LIMBS.shape[0]
-    xy = _unpack_rows16(g[: 2 * p2].reshape(2, p2, *g.shape[1:]), rows_nlz)
-    one = _MONT_ONE_LIMBS.reshape(rows_nlz, *([1] * (g.ndim - 1)))
-    z = one * g[2 * p2][None]
-    return jnp.concatenate([xy, z[None]], axis=0)
+    nz = (g[7] >> 28) & 1
+    xw = jnp.concatenate([g[:7], (g[7] & ((1 << 28) - 1))[None]], axis=0)
+    x = _unpack13(xw, rows_nlz)
+    y = _unpack13(g[8:16], rows_nlz)
+    one = _MONT_ONE_LIMBS.reshape(rows_nlz, *([1] * nz.ndim))
+    z = one * nz[None]
+    return jnp.stack([x, y, z], axis=0)
 
 
 def _rows_general_table(points: jnp.ndarray):
@@ -529,12 +570,16 @@ def _rows_general_fetch(tables, order: jnp.ndarray, rows_nlz: int) -> jnp.ndarra
     return _unpack_rows16(rows.reshape(3, -1, *rows.shape[1:]), rows_nlz)
 
 
+_GROUP_BUDGET = 1 << 23  # window-group lanes: 2*240B*budget of HBM in flight
+
+
 def _window_group(nw: int, n: int) -> int:
     """Windows per serial-path scan step: the largest divisor of ``nw`` whose
-    group keeps the sorted-point + prefix tensors within ~3 GB of HBM
+    group keeps the sorted-point + prefix tensors within ~4 GB of HBM
     (``2 * 240 B * Wg * n``) — wide lanes for the grid scan, bounded
-    footprint at n = 2^20."""
-    budget = max(1, (1 << 22) // n)
+    footprint at n = 2^20.  Measured on v5e at n=2^20/c=16: wg=8 beats
+    wg=4 by 1.13x (2.01 vs 1.77 Mpoints/s); wg=2 drops to 1.15."""
+    budget = max(1, _GROUP_BUDGET // n)
     best = 1
     for d in range(1, nw + 1):
         if nw % d == 0 and d <= budget:
@@ -560,13 +605,17 @@ def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = 
     digits = _signed_digits(scalars, c, bits)  # (nw, n) in [-2^(c-1), 2^(c-1)]
     nw = digits.shape[0]
     keys = jnp.abs(digits)
-    # ONE multi-operand sort carries the signed digits along with the keys
-    # (vs argsort + two take_along_axis passes — TPU gathers run at ~2 GB/s,
-    # far below HBM bandwidth, so every avoided gather matters).
+    # ONE two-operand sort: the key is |digit|; the payload packs the source
+    # index with the sign bit (index needs log2(n) bits, sign one more — n up
+    # to 2^30).  vs argsort + take_along_axis passes, or a third sort
+    # operand: the sort network moves every operand through every compare
+    # stage, so each packed-away operand is a third of the sort's data.
+    sh = max(1, (n - 1).bit_length())
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (nw, n))
-    d_sorted, dig_sorted, order = jax.lax.sort(
-        (keys, digits, iota), dimension=-1, num_keys=1
-    )
+    payload = iota | ((digits < 0).astype(jnp.int32) << sh)
+    d_sorted, pay_sorted = jax.lax.sort((keys, payload), dimension=-1, num_keys=1)
+    order = pay_sorted & ((1 << sh) - 1)
+    neg_sorted = pay_sorted >> sh
     wg = _window_group(nw, n)
     grp = lambda a: a.reshape(nw // wg, wg, n)
 
@@ -581,10 +630,10 @@ def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = 
         fetch = lambda og: _rows_general_fetch(tables, og, nlz_rows)
 
     def group_body(_, inputs):
-        order_g, d_g, dig_g = inputs  # (wg, n) each
+        order_g, d_g, neg_g = inputs  # (wg, n) each
         pts = fetch(order_g)  # (3, NLZ, wg, n)
         pts = cj._point_select(
-            dig_g < 0, _point_op_flat(kernels.point_neg, pts), pts
+            neg_g != 0, _point_op_flat(kernels.point_neg, pts), pts
         )
         # cum_{j-1} for j = 1..B-1: last prefix position with digit <= j-1
         targets = jnp.arange(0, B - 1, dtype=d_g.dtype)
@@ -594,7 +643,7 @@ def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = 
         return None, _windowed_bucket_sums(pts, pos, B)  # (wg, 3, NLZ)
 
     _, wins = jax.lax.scan(
-        group_body, None, (grp(order), grp(d_sorted), grp(dig_sorted))
+        group_body, None, (grp(order), grp(d_sorted), grp(neg_sorted))
     )
     return _horner_windows(wins.reshape(nw, *wins.shape[2:]), c)
 
