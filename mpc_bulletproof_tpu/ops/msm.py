@@ -327,13 +327,14 @@ def _reduce_batched(pts4: jnp.ndarray) -> jnp.ndarray:
     return pts4[..., 0]
 
 
+_SCAN_LANES = 5376  # max lanes per grid-scan step (v5e sweep: 5376 > 2688/10752)
+
+
 def _chunk_shape(W: int, n: int) -> tuple[int, int]:
     """Pick (chunks-per-window, steps): lanes ``L = W*nt`` as wide as the
-    16 MB scoped-VMEM limit allows (measured on v5e: L=2688 compiles and
-    runs, L=3584 OOMs at 17.7 MB; throughput saturates ~11.6 M adds/s by
-    L~1792); ``T = ceil(n/nt)`` sequential grid steps."""
+    scoped-VMEM limit allows; ``T = ceil(n/nt)`` sequential grid steps."""
     nt = 1
-    while W * nt * 2 <= 2688 and nt * 2 <= n:
+    while W * nt * 2 <= _SCAN_LANES and nt * 2 <= n:
         nt *= 2
     return nt, -(-n // nt)
 
