@@ -222,7 +222,8 @@ def main():
         log(f"host msm aux benchmark skipped: {exc}")
 
     if transfers_ok and os.environ.get("BENCH_SKIP_DEVICE") != "1":
-        dev_msm_n = int(os.environ.get("BENCH_DEV_MSM_N", "262144"))
+        # n = 2^20: the BASELINE.md "MSM points/sec/chip" metric config.
+        dev_msm_n = int(os.environ.get("BENCH_DEV_MSM_N", "1048576"))
         code = (
             "import os, sys, time; sys.path.insert(0, %r)\n"
             "os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', sys.path[0] + '/.jax_cache')\n"

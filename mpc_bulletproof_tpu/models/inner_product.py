@@ -591,6 +591,7 @@ def fused_ipp_body(n: int):
     import numpy as np
 
     from ..constants import R as R_MOD
+    from ..ops import kernels as kernels_mod
     from ..ops import limb
     from ..ops import msm as msm_mod
     from ..ops import transcript_jax as tj
@@ -645,7 +646,7 @@ def fused_ipp_body(n: int):
             state = tj.absorb(state, b"L", enc[:, 0], 64)
             state = tj.absorb(state, b"R", enc[:, 1], 64)
             state, u = tj.challenge_scalar(state, b"u")
-            u_inv = limb._mod_pow(u, R_MOD - 2, limb.FR)
+            u_inv = kernels_mod.mod_pow_static(u, R_MOD - 2, limb.FR)
 
             ub = jnp.broadcast_to(u, (NLc, n))
             uib = jnp.broadcast_to(u_inv, (NLc, n))

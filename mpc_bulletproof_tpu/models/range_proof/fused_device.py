@@ -46,6 +46,7 @@ def _program(n: int, m: int):
 
     from ...ops import curve_jax as cj
     from ...ops import fold as fold_mod
+    from ...ops import kernels
     from ...ops import limb
     from ...ops import msm as msm_mod
     from ...ops import transcript_jax as tj
@@ -187,7 +188,7 @@ def _program(n: int, m: int):
         # ---- the IPP over l(x), r(x) ------------------------------------
         l_vec = limb._mod_add(l0, limb._mod_mul(x_ch, l1, FR), FR)
         r_vec = limb._mod_add(r0, limb._mod_mul(x_ch, r1, FR), FR)
-        y_inv = limb._mod_pow(y_ch, R - 2, FR)
+        y_inv = kernels.mod_pow_static(y_ch, R - 2, FR)
         wH = limb._powers(y_inv[:, 0], nm, FR)
         wG = jnp.broadcast_to(limb.from_const(1, (1,)), (NL, nm))
 

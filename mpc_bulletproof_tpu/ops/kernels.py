@@ -232,6 +232,158 @@ def point_scan_steps(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# single-dispatch point reduction (sum over the batch axis)
+# ---------------------------------------------------------------------------
+#
+# The XLA halving tree (ops/msm._reduce_sum_tree) issues log2(n) separate
+# pallas calls; measured on v5e each call carries ~4-5 ms of fixed cost, so
+# an 8192-point sum took 60 ms for ~0.5 ms of VPU work.  Here the whole
+# reduction is ONE program: the grid accumulates granule chunks into a VMEM
+# carry, and the final step folds the (8, 128) granule in-registers (lane
+# then sublane halvings, curve constants sliced to match).
+
+
+def _ctx_slice(ctx, s: int, w: int):
+    return types.SimpleNamespace(
+        m=ctx.m[:, :s, :w],
+        m_prime=ctx.m_prime,
+        sparse_limbs=ctx.sparse_limbs,
+        b3=ctx.b3[:, :s, :w],
+        k8=ctx.k8[:, :s, :w],
+        k16=ctx.k16[:, :s, :w],
+        k32=ctx.k32[:, :s, :w],
+        unrolled_rows=ctx.unrolled_rows,
+    )
+
+
+def _preduce_kernel(m_ref, b3_ref, k8_ref, k16_ref, k32_ref, x_ref, o_ref, carry_ref):
+    ctx = _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref)
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    x = x_ref[...].reshape(3, NLZ, _SUB, _LANE)
+
+    @pl.when(i == 0)
+    def _first():
+        carry_ref[...] = x
+
+    @pl.when(i > 0)
+    def _rest():
+        carry_ref[...] = curve_jax._point_add(carry_ref[...], x, ctx)
+
+    @pl.when(i == T - 1)
+    def _tree():
+        acc = carry_ref[...]
+        w = _LANE
+        while w > 1:
+            h = w // 2
+            acc = curve_jax._point_add(
+                acc[..., :h], acc[..., h:w], _ctx_slice(ctx, _SUB, h)
+            )
+            w = h
+        s = _SUB
+        while s > 1:
+            h = s // 2
+            acc = curve_jax._point_add(
+                acc[:, :, :h], acc[:, :, h:s], _ctx_slice(ctx, h, 1)
+            )
+            s = h
+        o_ref[...] = acc.reshape(o_ref.shape)
+
+
+@jax.jit
+def point_reduce(pts: jnp.ndarray) -> jnp.ndarray:
+    """Sum of ``(3, NLZ, n)`` lazy points over the batch axis -> (3, NLZ, 1).
+
+    Requires identity-padded inputs to be harmless (the caller pads with
+    the projective identity, which this does internally)."""
+    n = pts.shape[-1]
+    padded = (n + _GRAN - 1) // _GRAN * _GRAN
+    if padded != n:
+        pts = jnp.concatenate([pts, curve_jax.identity((padded - n,))], axis=-1)
+    T = padded // _GRAN
+    x = pts.reshape(3, NLZ, T, _SUB, _LANE)
+    in_spec = pl.BlockSpec(
+        (3, NLZ, 1, _SUB, _LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _preduce_kernel,
+        out_shape=jax.ShapeDtypeStruct((3, NLZ, 1, 1), jnp.int32),
+        grid=(T,),
+        in_specs=_curve_specs() + [in_spec],
+        out_specs=pl.BlockSpec(
+            (3, NLZ, 1, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((3, NLZ, _SUB, _LANE), jnp.int32)],
+        interpret=_interpret(),
+    )(*_curve_operands(), x)
+    return out.reshape(3, NLZ, 1)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel square-and-multiply ladder (batched modular exponentiation)
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation (limb._mod_pow: lax.scan over exponent bits) pays a
+# per-step kernel-launch tax — ~500 sequential tiny-tensor steps measure
+# 75 ms on v5e for ONE scalar inverse, which dominated the fused prover
+# (every IPP round needs u^-1, every transcript point absorb a z^-1).  The
+# whole ladder runs here inside one pallas program: a fori_loop over the
+# exponent bits (int32 SMEM operand) with the Montgomery state held in
+# registers.  One dispatch, ~0.5 ms.
+
+
+def _pow_kernel(m_ref, m21_ref, mu_ref, bits_ref, x_ref, o_ref):
+    mp = _kernel_mp(m_ref, m21_ref, mu_ref, 0)
+    x = x_ref[...].reshape(NL, _SUB, _LANE)
+    one = (
+        jax.lax.broadcasted_iota(jnp.int32, (NL, _SUB, _LANE), 0) == 0
+    ).astype(jnp.int32)
+
+    def body(i, carry):
+        result, base = carry
+        bit = bits_ref[i]
+        mult = limb._mod_mul(result, base, mp)
+        result = jnp.where(bit != 0, mult, result)
+        base = limb._mod_mul(base, base, mp)
+        return result, base
+
+    result, _ = jax.lax.fori_loop(0, bits_ref.shape[0], body, (one, x))
+    o_ref[...] = result.reshape(o_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def mod_pow_static(x: jnp.ndarray, exponent: int, mp: ModParams = FR) -> jnp.ndarray:
+    """Batched ``x^exponent mod m`` over ``(NL, n)`` for a static exponent.
+
+    Drop-in for :func:`..limb.mod_pow` on the device path; exponent bits
+    ride an SMEM operand (LSB first) so one compiled kernel serves every
+    same-length exponent."""
+    e = int(exponent)
+    if e == 0:
+        return jnp.broadcast_to(
+            jnp.asarray(limb.int_to_limbs_np(1, NL)), (NL,) + x.shape[1:]
+        )
+    bits = jnp.asarray(
+        [(e >> i) & 1 for i in range(e.bit_length())], dtype=jnp.int32
+    )
+    a, n = _pad_lanes(x, _GRAN)
+    a3 = _gran_split(a)
+    spec = pl.BlockSpec(
+        (NL, 1, _SUB, _LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _pow_kernel,
+        out_shape=jax.ShapeDtypeStruct(a3.shape, jnp.int32),
+        grid=(a3.shape[1],),
+        in_specs=_mp_specs()
+        + [pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(*_mp_operands(mp), bits, a3)
+    return out.reshape(NL, -1)[..., :n]
+
+
+# ---------------------------------------------------------------------------
 # scalar-field vector kernels
 # ---------------------------------------------------------------------------
 

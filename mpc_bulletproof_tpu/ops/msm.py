@@ -185,23 +185,11 @@ def _reduce_sum_tree(pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def _reduce_sum(pts: jnp.ndarray) -> jnp.ndarray:
-    """Point sum; chunked like :func:`_inclusive_scan` for program size."""
+    """Point sum along the batch axis -> ``(3, NLZ, 1)``."""
     if _compile_friendly():
         return _inclusive_scan_hs(pts)[..., -1:]
-    n = pts.shape[-1]
-    if n <= _SCAN_CHUNK:
-        return _reduce_sum_tree(pts)
-    k = -(-n // _SCAN_CHUNK)
-    pad = k * _SCAN_CHUNK - n
-    if pad:
-        pts = jnp.concatenate([pts, cj.identity((pad,))], axis=-1)
-    chunks = jnp.moveaxis(pts.reshape(*pts.shape[:-1], k, _SCAN_CHUNK), -2, 0)
-
-    def body(carry, chunk):
-        return kernels.point_add(carry, _reduce_sum_tree(chunk)), None
-
-    total, _ = jax.lax.scan(body, cj.identity((1,)), chunks)
-    return total
+    # one pallas program: grid chunk accumulation + in-kernel granule tree
+    return kernels.point_reduce(pts)
 
 
 # ---------------------------------------------------------------------------

@@ -92,7 +92,9 @@ def lazy_points_to_affine(pts: jnp.ndarray):
     is_id = jnp.all(zc == 0, axis=0)
     # avoid 0^(p-2) = 0 division noise: substitute 1 for identity lanes
     z_safe = jnp.where(is_id[None, :], limb.from_const(1, zc.shape[1:]), zc)
-    zinv = limb._mod_pow(z_safe, P - 2, FP)
+    from . import kernels  # in-kernel ladder: one dispatch, not ~500
+
+    zinv = kernels.mod_pow_static(z_safe, P - 2, FP)
     x_aff = limb._mod_mul(xc, zinv, FP)
     y_aff = limb._mod_mul(yc, zinv, FP)
     return x_aff, y_aff, is_id
