@@ -638,10 +638,13 @@ def fused_ipp_body(n: int):
             sL = jnp.concatenate([sL, c_L], axis=-1)
             sR = jnp.concatenate([sR, c_R], axis=-1)
 
-            L = msm_mod._msm_device_impl(sL, pts_d[:, :, idxL], c)
-            Rp = msm_mod._msm_device_impl(sR, pts_d[:, :, idxR], c)
+            # L and R as ONE merged program: shared bucket phase, one
+            # Horner chain with both outputs on the lane axis
+            LR = msm_mod._msm_batched_pair_impl(
+                sL, pts_d[:, :, idxL], sR, pts_d[:, :, idxR], c
+            )
 
-            x, y, iid = tj.lazy_points_to_affine(jnp.stack([L, Rp], axis=-1))
+            x, y, iid = tj.lazy_points_to_affine(LR)
             enc = tj.points_transcript_bytes(x, y, iid)  # (64, 2)
             state = tj.absorb(state, b"L", enc[:, 0], 64)
             state = tj.absorb(state, b"R", enc[:, 1], 64)

@@ -33,6 +33,55 @@ from ..inner_product import InnerProductProof, fused_ipp_body
 
 _PROGRAM_CACHE: dict = {}
 
+# Device generator arrays per (BulletproofGens, n, m) / PedersenGens —
+# rebuilding them was ~1/3 of every fused prove (8k points through
+# points_from_host).  Keyed by id() with a strong ref held alongside so a
+# recycled id can never alias a different gens object (gens objects are
+# few and long-lived; the cache is process-bounded).
+_GENS_CACHE: dict = {}
+
+
+def _gens_entry(obj) -> dict:
+    ref, per = _GENS_CACHE.setdefault(id(obj), (obj, {}))
+    assert ref is obj
+    return per
+
+
+def _device_gens(bp_gens: BulletproofGens, n: int, m: int):
+    per = _gens_entry(bp_gens)
+    key = (n, m)
+    if key not in per:
+        import jax.numpy as jnp
+
+        from ...ops import curve_jax as cj
+
+        G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
+        H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
+        per[key] = (
+            jnp.asarray(cj.points_from_host(G)),
+            jnp.asarray(cj.points_from_host(H)),
+        )
+    return per[key]
+
+
+def _device_pc(pc_gens: PedersenGens):
+    per = _gens_entry(pc_gens)
+    if "pc" not in per:
+        import jax.numpy as jnp
+
+        from ...ops import curve_jax as cj
+        from ...ops import msm as msm_mod
+
+        B_dev = jnp.asarray(cj.points_from_host([pc_gens.B]))
+        Bb_dev = jnp.asarray(cj.points_from_host([pc_gens.B_blinding]))
+        # fixed-base window tables [B-rows | B~-rows] (ops/msm.py)
+        fb = jnp.concatenate(
+            [msm_mod.fixed_base_table(B_dev), msm_mod.fixed_base_table(Bb_dev)],
+            axis=0,
+        )
+        per["pc"] = (B_dev, Bb_dev, fb)
+    return per["pc"]
+
 
 def _program(n: int, m: int):
     """Build (and cache) the jitted fused prover for (bitsize n, parties m)."""
@@ -45,7 +94,6 @@ def _program(n: int, m: int):
     import jax.numpy as jnp
 
     from ...ops import curve_jax as cj
-    from ...ops import fold as fold_mod
     from ...ops import kernels
     from ...ops import limb
     from ...ops import msm as msm_mod
@@ -72,24 +120,23 @@ def _program(n: int, m: int):
         """Absorb a canonical (NL, 1) scalar as 32 LE bytes."""
         return tj.absorb(state, lbl, tj.felt_bytes_le(s_col)[:, 0], 32)
 
+    FB_STRIDE = msm_mod.FB_WINDOWS * msm_mod.FB_TABLE  # B~ rows offset
+
     def run(state32, bits, v_limbs, gamma, alpha_sum, rho_sum, sL, sR,
-            t1b_sum, t2b_sum, G_pts, H_pts, B_pt, Bb_pt):
+            t1b_sum, t2b_sum, G_pts, H_pts, B_pt, Bb_pt, fb_table):
         FR = limb.FR
         bits_b = bits != 0
 
         # ---- bit commitments -------------------------------------------
-        # V_j = v_j B + gamma_j B~ ; blind terms alpha B~, rho B~ share the
-        # same batched Shamir scan (B/B~ broadcast per lane).
+        # V_j = v_j B + gamma_j B~ ; blind terms alpha B~, rho B~ ride the
+        # same batched fixed-base table evaluation (ops/msm.py fixed_commit:
+        # 8-bit window gathers + one tree, replacing a 252-step Shamir scan).
         zeros = jnp.zeros((NL, 1), jnp.int32)
         sc_l = jnp.concatenate([v_limbs, alpha_sum, rho_sum], axis=-1)  # (NL, m+2)
         sc_r = jnp.concatenate([gamma, zeros, zeros], axis=-1)
-        bl = fold_mod.scalar_bits(sc_l)
-        br = fold_mod.scalar_bits(sc_r)
-        GL = jnp.concatenate(
-            [jnp.broadcast_to(B_pt, (3, limb.NLZ, m)),
-             jnp.broadcast_to(Bb_pt, (3, limb.NLZ, 2))], axis=-1)
-        GR = jnp.broadcast_to(Bb_pt, (3, limb.NLZ, m + 2))
-        scan1 = fold_mod.fold_points(bl, br, GL, GR)  # (3, NLZ, m+2)
+        off_l = jnp.asarray([0] * m + [FB_STRIDE, FB_STRIDE], dtype=jnp.int32)
+        off_r = jnp.full((m + 2,), FB_STRIDE, dtype=jnp.int32)
+        scan1 = msm_mod.fixed_commit(fb_table, off_l, sc_l, off_r, sc_r)
         V_pts = scan1[..., :m]
         A_blind = scan1[..., m : m + 1]
         S_blind = scan1[..., m + 1 : m + 2]
@@ -148,14 +195,12 @@ def _program(n: int, m: int):
         )[:, None]
         t1 = limb._mod_sub(limb._mod_sub(t_sum, t0, FR), t2, FR)
 
-        # T_1 = t1 B + t1b_sum B~ ; T_2 likewise — one 2-lane Shamir scan
+        # T_1 = t1 B + t1b_sum B~ ; T_2 likewise — one 2-lane table eval
         tb_l = jnp.concatenate([t1, t2], axis=-1)
         tb_r = jnp.concatenate([t1b_sum, t2b_sum], axis=-1)
-        T_pts = fold_mod.fold_points(
-            fold_mod.scalar_bits(tb_l), fold_mod.scalar_bits(tb_r),
-            jnp.broadcast_to(B_pt, (3, limb.NLZ, 2)),
-            jnp.broadcast_to(Bb_pt, (3, limb.NLZ, 2)),
-        )
+        off0 = jnp.zeros((2,), jnp.int32)
+        offb = jnp.full((2,), FB_STRIDE, dtype=jnp.int32)
+        T_pts = msm_mod.fixed_commit(fb_table, off0, tb_l, offb, tb_r)
         state32, (Tx, Ty, Tid) = absorb_points(state32, [b"T_1", b"T_2"], T_pts)
         state32, x_ch = tj.challenge_scalar(state32, b"x")
 
@@ -178,12 +223,9 @@ def _program(n: int, m: int):
         state32 = absorb_scalar(state32, b"e_blinding", e_blinding)
         state32, w_ch = tj.challenge_scalar(state32, b"w")
 
-        # Q = w B (1-lane scan)
-        Q_pt = fold_mod.fold_points(
-            fold_mod.scalar_bits(w_ch), fold_mod.scalar_bits(zeros),
-            jnp.broadcast_to(B_pt, (3, limb.NLZ, 1)),
-            jnp.broadcast_to(B_pt, (3, limb.NLZ, 1)),
-        )
+        # Q = w B (1-lane table eval; right term is 0 * B = identity)
+        off1 = jnp.zeros((1,), jnp.int32)
+        Q_pt = msm_mod.fixed_commit(fb_table, off1, w_ch, off1, zeros)
 
         # ---- the IPP over l(x), r(x) ------------------------------------
         l_vec = limb._mod_add(l0, limb._mod_mul(x_ch, l1, FR), FR)
@@ -283,8 +325,8 @@ def prove_multiple_device(
         for i in range(n):
             bits_np[j * n + i] = (int(v) >> i) & 1
 
-    G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
-    H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
+    G_dev, H_dev = _device_gens(bp_gens, n, m)
+    B_dev, Bb_dev, fb_table = _device_pc(pc_gens)
 
     fn = _program(n, m)
     sum_s = lambda xs: Scalar(sum(int(x) for x in xs))
@@ -300,10 +342,11 @@ def prove_multiple_device(
         jnp.asarray(cj.scalars_from_host(sR_all)),
         jnp.asarray(cj.scalars_from_host([sum_s(t1b)])),
         jnp.asarray(cj.scalars_from_host([sum_s(t2b)])),
-        jnp.asarray(cj.points_from_host(G)),
-        jnp.asarray(cj.points_from_host(H)),
-        jnp.asarray(cj.points_from_host([pc_gens.B])),
-        jnp.asarray(cj.points_from_host([pc_gens.B_blinding])),
+        G_dev,
+        H_dev,
+        B_dev,
+        Bb_dev,
+        fb_table,
     )
     (state32, Vt, ASt, Tt, t_x, t_xb, e_b, a_fin, b_fin, Lx, Ly, Lid) = out
 

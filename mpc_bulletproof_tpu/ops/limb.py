@@ -73,21 +73,61 @@ def int_to_limbs_np(x: int, n: int = NL) -> np.ndarray:
 
 
 def ints_to_limbs(values: Sequence[int], n: int = NL) -> np.ndarray:
-    """Pack python ints into an ``(n, len)`` int32 limb array."""
-    out = np.zeros((n, len(values)), dtype=np.int32)
-    for j, v in enumerate(values):
-        for i in range(n):
-            out[i, j] = v & MASK
-            v >>= BASE_BITS
+    """Pack python ints into an ``(n, len)`` int32 limb array.
+
+    Vectorized: each value serializes once (``int.to_bytes``, C-speed), then
+    numpy unpacks bits and folds 13-bit groups — the per-limb python loop
+    was the dominant host cost of large device transfers (8k generators =
+    500k python iterations)."""
+    k = len(values)
+    if k == 0:
+        return np.zeros((n, 0), dtype=np.int32)
+    nbytes = (n * BASE_BITS + 7) // 8
+    try:
+        buf = b"".join(v.to_bytes(nbytes, "little") for v in values)
+    except (OverflowError, AttributeError):  # too wide / non-int: exact path
+        out = np.zeros((n, k), dtype=np.int32)
+        for j, v in enumerate(values):
+            v = int(v)
+            for i in range(n):
+                out[i, j] = v & MASK
+                v >>= BASE_BITS
+            if v:
+                raise ValueError("value does not fit in limb count")
+        return out
+    b = np.frombuffer(buf, dtype=np.uint8).reshape(k, nbytes).astype(np.int32)
+    b = np.pad(b, [(0, 0), (0, 2)])  # safe 3-byte window at the tail
+    out = np.empty((n, k), dtype=np.int32)
+    for i in range(n):
+        byte, off = divmod(BASE_BITS * i, 8)
+        word = b[:, byte] | (b[:, byte + 1] << 8) | (b[:, byte + 2] << 16)
+        out[i] = (word >> off) & MASK
     return out
 
 
 def limbs_to_ints(arr) -> list[int]:
     """Unpack an ``(n, ...)`` limb array into python ints (flattened batch)."""
     a = np.asarray(arr)
-    flat = a.reshape(a.shape[0], -1).astype(object)
-    weights = np.array([1 << (BASE_BITS * i) for i in range(a.shape[0])], dtype=object)
-    return list(weights @ flat)
+    flat = a.reshape(a.shape[0], -1)
+    n, k = flat.shape
+    if k and flat.dtype.kind in "iu" and flat.min() >= 0 and flat.max() < BASE:
+        # canonical limbs: reassemble bytes -> int.from_bytes (C-speed)
+        w = (n * BASE_BITS + 7) // 8
+        f = flat.astype(np.int64)
+        out = np.zeros((k, w), dtype=np.uint8)
+        for j in range(w):
+            a = (8 * j) // BASE_BITS
+            off = 8 * j - BASE_BITS * a
+            word = f[a] >> off
+            if a + 1 < n:
+                word = word | (f[a + 1] << (BASE_BITS - off))
+            out[:, j] = word & 0xFF
+        data = out.tobytes()
+        return [
+            int.from_bytes(data[j * w : (j + 1) * w], "little") for j in range(k)
+        ]
+    weights = np.array([1 << (BASE_BITS * i) for i in range(n)], dtype=object)
+    return list(weights @ flat.astype(object))
 
 
 class ModParams:

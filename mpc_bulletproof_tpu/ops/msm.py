@@ -393,17 +393,28 @@ def _windowed_bucket_sums(pts4: jnp.ndarray, pos: jnp.ndarray, B: int) -> jnp.nd
 
 def _horner_windows(window_sums: jnp.ndarray, c: int) -> jnp.ndarray:
     """Combine ``(nw, 3, NLZ)`` window sums: c doublings + 1 add per window."""
+    return _horner_windows_multi(window_sums[..., None], c)[..., 0]
+
+
+def _horner_windows_multi(window_sums: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Horner window combine for ``k`` independent MSM outputs at once.
+
+    ``window_sums``: ``(nw, 3, NLZ, k)`` — the k outputs ride the lane axis
+    of the SAME serial doubling chain, so a merged L/R pair (or a whole
+    verification batch) pays the ~nw*(c+1) sequential point ops once.
+    """
 
     def horner_body(acc, w_sum):
         for _ in range(c):
             acc = kernels.point_add(acc, acc)
-        acc = kernels.point_add(acc, w_sum[..., None])
+        acc = kernels.point_add(acc, w_sum)
         return acc, None
 
+    k = window_sums.shape[-1]
     acc, _ = jax.lax.scan(
-        horner_body, cj.identity((1,)), window_sums, reverse=True
+        horner_body, cj.identity((k,)), window_sums, reverse=True
     )
-    return acc[..., 0]
+    return acc
 
 
 def _msm_batched_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int,
@@ -438,6 +449,60 @@ def _msm_batched_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int,
     pos = ends[:, : B - 1] - 1  # (nw, B-1) for targets 0..B-2
     window_sums = _windowed_bucket_sums(pts4, pos, B)
     return _horner_windows(window_sums, c)
+
+
+def _msm_batched_pair_impl(sA: jnp.ndarray, pA: jnp.ndarray,
+                           sB: jnp.ndarray, pB: jnp.ndarray,
+                           c: int, bits: int = FIELD_BITS) -> jnp.ndarray:
+    """TWO same-width MSMs as one program -> ``(3, NLZ, 2)``.
+
+    The IPP prover needs an L and an R MSM every round
+    (reference src/inner_product_proof.rs:90-114); merging them doubles the
+    window axis of the shared bucket phase and runs ONE Horner chain with
+    both outputs on the lane axis — the serial window-combine (the dominant
+    per-MSM cost at proof scale) is paid once instead of twice.
+    """
+    n = sA.shape[-1]
+    B = (1 << (c - 1)) + 1
+    rows_nlz = pA.shape[1]
+
+    dA = _signed_digits(sA, c, bits)
+    dB = _signed_digits(sB, c, bits)
+    nw = dA.shape[0]
+    digits = jnp.concatenate([dA, dB], axis=0)  # (2nw, n)
+    keys = jnp.abs(digits)
+    negs = (digits < 0).astype(jnp.int32)
+    rowsA = pA.reshape(3 * rows_nlz, n)
+    rowsB = pB.reshape(3 * rows_nlz, n)
+    which = (jnp.arange(2 * nw, dtype=jnp.int32) < nw)
+
+    def reorder_one(_, inputs):
+        k_w, neg_w, isA = inputs
+        rank, counts = _rank_by_digit(k_w, B)
+        src = jnp.where(isA, rowsA, rowsB)
+        rows = jnp.concatenate([src, neg_w[None]], axis=0)
+        out = _permute_columns(rows, rank)
+        return None, (out, counts)
+
+    _, (sorted_rows, counts) = jax.lax.scan(reorder_one, None, (keys, negs, which))
+    pts4 = jnp.moveaxis(sorted_rows[:, : 3 * rows_nlz], 0, -2).reshape(
+        3, rows_nlz, 2 * nw, n
+    )
+    neg4 = sorted_rows[:, 3 * rows_nlz]
+    pts4 = cj._point_select(neg4 != 0, _point_op_flat(kernels.point_neg, pts4), pts4)
+
+    ends = jnp.cumsum(counts, axis=-1)
+    pos = ends[:, : B - 1] - 1
+    window_sums = _windowed_bucket_sums(pts4, pos, B)  # (2nw, 3, NLZ)
+    pair = jnp.stack(
+        [window_sums[:nw], window_sums[nw:]], axis=-1
+    )  # (nw, 3, NLZ, 2)
+    return _horner_windows_multi(pair, c)
+
+
+msm_device_pair = functools.partial(jax.jit, static_argnums=(4, 5))(
+    _msm_batched_pair_impl
+)
 
 
 def _pack_rows16(points: jnp.ndarray) -> jnp.ndarray:
@@ -718,3 +783,112 @@ def _msm_split_impl(scalars: jnp.ndarray, points4: jnp.ndarray,
 
 
 msm_device_split = functools.partial(jax.jit, static_argnums=(2,))(_msm_split_impl)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base windowed tables (Pedersen commitments inside fused provers).
+#
+# A 252-step Shamir double-and-add scan costs ~504 sequential granule
+# point-adds regardless of lane count; every fused-prover Pedersen commit
+# (V_j, T_1/T_2, Q, the A/S blind terms) was one of those.  With an 8-bit
+# window table  T[w, d] = d * 2^(8w) * B  (w < 32, d < 256) a commit is 32
+# gathered points + a log-depth tree — ~6 granule adds for a whole batch.
+# Tables are built on device ONCE per base (one jitted program), converted
+# to affine, and stored as packed 16-word gather records
+# (:func:`_rows_affine_table`); callers cache them next to the generator
+# device arrays.
+# ---------------------------------------------------------------------------
+
+FB_WINDOW_BITS = 8
+FB_WINDOWS = 32  # 32 * 8 = 256 bits >= 252
+FB_TABLE = 1 << FB_WINDOW_BITS
+
+
+def fixed_base_table(base_pt: jnp.ndarray) -> jnp.ndarray:
+    """``(3, NLZ, 1)`` point -> ``(FB_WINDOWS * FB_TABLE, 16)`` packed affine
+    row table of all windowed multiples (row ``w * 256 + d`` = ``d 2^{8w} B``).
+
+    One-time per base; the whole build is jit-compiled (doubling ladder +
+    one batched Fermat inversion for the affine convert).
+    """
+    from . import transcript_jax as tj
+
+    @jax.jit
+    def build(b):
+        # multiples [0..255] * B by doubling concat: out_{2k} = out_k ++ (out_k + kB)
+        row = jnp.concatenate([cj.identity((1,)), b], axis=-1)
+        step = kernels.point_add(b, b)  # 2B
+        while row.shape[-1] < FB_TABLE:
+            row = jnp.concatenate(
+                [row, kernels.point_add(row, step)], axis=-1
+            )
+            step = kernels.point_add(step, step)
+
+        def shift8(r, _):
+            for _ in range(FB_WINDOW_BITS):
+                r = kernels.point_add(r, r)
+            return r, r
+
+        _, shifted = jax.lax.scan(shift8, row, None, length=FB_WINDOWS - 1)
+        all_rows = jnp.concatenate(
+            [row[None], shifted], axis=0
+        )  # (FB_WINDOWS, 3, NLZ, FB_TABLE)
+        flat = jnp.moveaxis(all_rows, 0, -2).reshape(
+            3, all_rows.shape[2], FB_WINDOWS * FB_TABLE
+        )
+        x, y, is_id = tj.lazy_points_to_affine(flat)
+        # back to Montgomery form: the gather/fetch path (and every point
+        # kernel) works on x*R coordinates, lazy_points_to_affine strips R.
+        r_limbs = jnp.asarray(limb.int_to_limbs_np(_MONT_ONE_INT, NL))
+        x = limb._mod_mul(x, r_limbs, limb.FP)
+        y = limb._mod_mul(y, r_limbs, limb.FP)
+        pad = lambda a: jnp.pad(a, [(0, all_rows.shape[2] - a.shape[0]), (0, 0)])
+        one = jnp.asarray(limb.int_to_limbs_np(_MONT_ONE_INT, all_rows.shape[2]))
+        z = jnp.where(is_id[None, :], 0, jnp.broadcast_to(one, pad(x).shape))
+        return _rows_affine_table(jnp.stack([pad(x), pad(y), z], axis=0))
+
+    from . import limb
+
+    return build(base_pt)
+
+
+def _fb_digits(scalars: jnp.ndarray) -> jnp.ndarray:
+    """``(NL, k)`` limbs -> ``(FB_WINDOWS, k)`` 8-bit digits (LSB window 0)."""
+    rows = []
+    for w in range(FB_WINDOWS):
+        lo = FB_WINDOW_BITS * w
+        a, off = divmod(lo, BASE_BITS)
+        if a >= scalars.shape[0]:
+            rows.append(jnp.zeros_like(scalars[0]))
+            continue
+        v = scalars[a] >> off
+        if a + 1 < scalars.shape[0]:
+            v = v | (scalars[a + 1] << (BASE_BITS - off))
+        rows.append(v & (FB_TABLE - 1))
+    return jnp.stack(rows, axis=0)
+
+
+def fixed_commit(table: jnp.ndarray, base_off_l: jnp.ndarray, sc_l: jnp.ndarray,
+                 base_off_r: jnp.ndarray, sc_r: jnp.ndarray) -> jnp.ndarray:
+    """Batched two-base fixed commitment ``sc_l * base_l + sc_r * base_r``.
+
+    ``table``: concatenation of per-base :func:`fixed_base_table` rows.
+    ``base_off_*``: ``(k,)`` row offsets selecting each lane's base (multiples
+    of ``FB_WINDOWS * FB_TABLE``).  ``sc_*``: ``(NL, k)`` scalars.
+    Returns ``(3, NLZ, k)`` points.
+    """
+    k = sc_l.shape[-1]
+    w_off = jnp.arange(FB_WINDOWS, dtype=jnp.int32)[:, None] * FB_TABLE
+    idx_l = base_off_l[None, :] + w_off + _fb_digits(sc_l)
+    idx_r = base_off_r[None, :] + w_off + _fb_digits(sc_r)
+    idx = jnp.concatenate([idx_l, idx_r], axis=0)  # (2*FB_WINDOWS, k)
+    pts = _rows_affine_fetch(table, idx)  # (3, NLZ, 2*FB_WINDOWS, k)
+    w = pts.shape[-2]
+    while w > 1:
+        half = w // 2
+        pts = _point_op_flat(kernels.point_add, pts[..., :half, :], pts[..., half : 2 * half, :])
+        w = half
+    return pts[..., 0, :]
+
+
+_MONT_ONE_INT = cj.FP.mont_r
