@@ -16,7 +16,7 @@ from .generators import BulletproofGens, BulletproofGensShare, PedersenGens  # n
 from .transcript import HashChainTranscript, hash_to_scalar  # noqa: F401
 from .utils import errors  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def __getattr__(name):

@@ -332,22 +332,32 @@ def point_reduce(pts: jnp.ndarray) -> jnp.ndarray:
 # registers.  One dispatch, ~0.5 ms.
 
 
-def _pow_kernel(m_ref, m21_ref, mu_ref, bits_ref, x_ref, o_ref):
+def _pow_kernel(m_ref, m21_ref, mu_ref, digs_ref, x_ref, o_ref):
+    """4-bit-window square-and-multiply: ``digs`` are MSB-first base-16
+    digits of the exponent (SMEM).  14 table mults + 5 mults per digit
+    (vs 2 per bit for the plain ladder — 1.5x fewer sequential muls,
+    which is the entire cost of this inherently serial kernel)."""
     mp = _kernel_mp(m_ref, m21_ref, mu_ref, 0)
     x = x_ref[...].reshape(NL, _SUB, _LANE)
     one = (
         jax.lax.broadcasted_iota(jnp.int32, (NL, _SUB, _LANE), 0) == 0
     ).astype(jnp.int32)
 
-    def body(i, carry):
-        result, base = carry
-        bit = bits_ref[i]
-        mult = limb._mod_mul(result, base, mp)
-        result = jnp.where(bit != 0, mult, result)
-        base = limb._mod_mul(base, base, mp)
-        return result, base
+    pows = [one, x]
+    for _ in range(14):
+        pows.append(limb._mod_mul(pows[-1], x, mp))
+    table = jnp.stack(pows)  # (16, NL, SUB, LANE)
 
-    result, _ = jax.lax.fori_loop(0, bits_ref.shape[0], body, (one, x))
+    def body(i, acc):
+        for _ in range(4):
+            acc = limb._mod_mul(acc, acc, mp)
+        d = digs_ref[i]
+        sel = table[0]
+        for t in range(1, 16):
+            sel = jnp.where(d == t, table[t], sel)
+        return limb._mod_mul(acc, sel, mp)
+
+    result = jax.lax.fori_loop(0, digs_ref.shape[0], body, one)
     o_ref[...] = result.reshape(o_ref.shape)
 
 
@@ -355,16 +365,18 @@ def _pow_kernel(m_ref, m21_ref, mu_ref, bits_ref, x_ref, o_ref):
 def mod_pow_static(x: jnp.ndarray, exponent: int, mp: ModParams = FR) -> jnp.ndarray:
     """Batched ``x^exponent mod m`` over ``(NL, n)`` for a static exponent.
 
-    Drop-in for :func:`..limb.mod_pow` on the device path; exponent bits
-    ride an SMEM operand (LSB first) so one compiled kernel serves every
-    same-length exponent."""
+    Drop-in for :func:`..limb.mod_pow` on the device path; exponent digits
+    (base 16, MSB first) ride an SMEM operand so one compiled kernel serves
+    every same-length exponent."""
     e = int(exponent)
     if e == 0:
         return jnp.broadcast_to(
             jnp.asarray(limb.int_to_limbs_np(1, NL)), (NL,) + x.shape[1:]
         )
-    bits = jnp.asarray(
-        [(e >> i) & 1 for i in range(e.bit_length())], dtype=jnp.int32
+    ndig = (e.bit_length() + 3) // 4
+    digs = jnp.asarray(
+        [(e >> (4 * (ndig - 1 - i))) & 0xF for i in range(ndig)],
+        dtype=jnp.int32,
     )
     a, n = _pad_lanes(x, _GRAN)
     a3 = _gran_split(a)
@@ -379,7 +391,7 @@ def mod_pow_static(x: jnp.ndarray, exponent: int, mp: ModParams = FR) -> jnp.nda
         + [pl.BlockSpec(memory_space=pltpu.SMEM), spec],
         out_specs=spec,
         interpret=_interpret(),
-    )(*_mp_operands(mp), bits, a3)
+    )(*_mp_operands(mp), digs, a3)
     return out.reshape(NL, -1)[..., :n]
 
 

@@ -819,8 +819,11 @@ def fixed_base_table(base_pt: jnp.ndarray) -> jnp.ndarray:
         row = jnp.concatenate([cj.identity((1,)), b], axis=-1)
         step = kernels.point_add(b, b)  # 2B
         while row.shape[-1] < FB_TABLE:
+            # explicit broadcast: point_add zero-PADS ragged widths, it does
+            # not broadcast a 1-lane operand
             row = jnp.concatenate(
-                [row, kernels.point_add(row, step)], axis=-1
+                [row, kernels.point_add(row, jnp.broadcast_to(step, row.shape))],
+                axis=-1,
             )
             step = kernels.point_add(step, step)
 
