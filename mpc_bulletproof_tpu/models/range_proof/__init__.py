@@ -193,6 +193,10 @@ class RangeProof:
         m = len(value_commitments)
         g_scalars, h_scalars = g_h_scalars
         split = bp_gens.split_table(n, m, pc_gens)
+        if backend.mesh_shardable(len(scalars) + 2 * n * m):
+            # Multi-chip: the whole mega-check goes to the mesh as one
+            # sharded MSM (per-device Pippenger partials + collective).
+            split = None
         if split is not None:
             # Fixed-base part (G, H, B, B_blinding — all but ~m+4+2lg(nm)
             # points of the mega-check) through the cached native split
@@ -395,6 +399,8 @@ class RangeProof:
                     uniq_points.append(p)
 
         split = bp_gens.split_table(n, m, pc_gens)
+        if backend.mesh_shardable(len(uniq_scalars) + 2 + 2 * nm):
+            split = None  # route the whole batched mega-check to the mesh
         if split is not None:
             import numpy as np
 

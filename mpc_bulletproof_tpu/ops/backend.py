@@ -44,6 +44,18 @@ def active_mesh():
     return _ACTIVE_MESH
 
 
+def mesh_shardable(n: int) -> bool:
+    """True when the device backend is active, a mesh is installed, and an
+    ``n``-point MSM clears the per-device sharding threshold — i.e. when a
+    protocol MSM should go to the mesh rather than a single-backend fast
+    path (such as the native split generator tables)."""
+    return (
+        _ACTIVE_MESH is not None
+        and use_device()
+        and n >= _ACTIVE_MESH.devices.size * _SHARD_MIN_PER_DEVICE
+    )
+
+
 # Below this size a single chip is faster than paying the collective.
 _SHARD_MIN_PER_DEVICE = 16
 # Below this size the host python/native path beats kernel dispatch.
