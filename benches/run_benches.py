@@ -143,6 +143,27 @@ def bench_shuffle(max_k_ln, reps):
 
         record("shuffle-prover", f"k=2^{ln}", timeit(prove, reps))
 
+        # one proof for the verifier sweep (reference benches/shuffle.rs
+        # times prove and verify separately over the same k sweep)
+        t = HashChainTranscript(b"bench-shuffle")
+        prover = Prover(PC, t)
+        in_pairs = [prover.commit(v, rand_scalar()) for v in inputs]
+        out_pairs = [prover.commit(v, rand_scalar()) for v in outputs]
+        shuffle_gadget(prover, [v for _, v in in_pairs], [v for _, v in out_pairs])
+        proof = prover.prove(gens)
+        in_pts = [p for p, _ in in_pairs]
+        out_pts = [p for p, _ in out_pairs]
+
+        def verify():
+            t = HashChainTranscript(b"bench-shuffle")
+            verifier = Verifier(PC, t)
+            iv = [verifier.commit(p) for p in in_pts]
+            ov = [verifier.commit(p) for p in out_pts]
+            shuffle_gadget(verifier, iv, ov)
+            verifier.verify(proof, gens)
+
+        record("shuffle-verifier", f"k=2^{ln}", timeit(verify, reps))
+
 
 def bench_generators(reps):
     for size in (2, 8, 64, 256, 1024):
