@@ -193,9 +193,11 @@ class RangeProof:
         m = len(value_commitments)
         g_scalars, h_scalars = g_h_scalars
         split = bp_gens.split_table(n, m, pc_gens)
-        if backend.mesh_shardable(len(scalars) + 2 * n * m):
+        if backend.mesh_shardable(len(scalars) + 2 * n * m, over_split=True):
             # Multi-chip: the whole mega-check goes to the mesh as one
             # sharded MSM (per-device Pippenger partials + collective).
+            # over_split: abandoning the cached split table only pays above
+            # a higher crossover than plain mesh sharding.
             split = None
         if split is not None:
             # Fixed-base part (G, H, B, B_blinding — all but ~m+4+2lg(nm)
@@ -399,7 +401,7 @@ class RangeProof:
                     uniq_points.append(p)
 
         split = bp_gens.split_table(n, m, pc_gens)
-        if backend.mesh_shardable(len(uniq_scalars) + 2 + 2 * nm):
+        if backend.mesh_shardable(len(uniq_scalars) + 2 + 2 * nm, over_split=True):
             split = None  # route the whole batched mega-check to the mesh
         if split is not None:
             import numpy as np

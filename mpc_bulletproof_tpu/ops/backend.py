@@ -44,22 +44,32 @@ def active_mesh():
     return _ACTIVE_MESH
 
 
-def mesh_shardable(n: int) -> bool:
-    """True when the device backend is active, a mesh is installed, and an
-    ``n``-point MSM clears the per-device sharding threshold — i.e. when a
-    protocol MSM should go to the mesh rather than a single-backend fast
-    path (such as the native split generator tables)."""
-    return (
-        _ACTIVE_MESH is not None
-        and use_device()
-        and n >= _ACTIVE_MESH.devices.size * _SHARD_MIN_PER_DEVICE
-    )
-
-
 # Below this size a single chip is faster than paying the collective.
 _SHARD_MIN_PER_DEVICE = 16
 # Below this size the host python/native path beats kernel dispatch.
 _DEVICE_MIN = 32
+# Below this size a cached native split table beats the mesh: 'abandon the
+# split table for the mesh' is a different tradeoff than 'single chip vs
+# collective' — the 64-doubling split-table combine is very fast at small
+# mega-check widths.  (Crossover constant; see OPTIMIZATIONS.md thresholds.)
+_MESH_OVER_SPLIT_MIN = 4096
+
+
+def mesh_shardable(n: int, over_split: bool = False) -> bool:
+    """True when an ``n``-point protocol MSM should route to the mesh.
+
+    The single routing predicate shared by :func:`dispatch_msm` and the
+    callers that would *abandon a faster single-backend path* (the cached
+    native split generator tables) for the mesh — those pass
+    ``over_split=True`` and clear a higher crossover.
+    """
+    if _ACTIVE_MESH is None or not use_device() or n < _DEVICE_MIN:
+        return False
+    if n < _ACTIVE_MESH.devices.size * _SHARD_MIN_PER_DEVICE:
+        return False
+    if over_split and n < _MESH_OVER_SPLIT_MIN:
+        return False
+    return True
 
 
 def dispatch_msm(scalars, points):
@@ -71,8 +81,7 @@ def dispatch_msm(scalars, points):
 
     n = len(scalars)
     if use_device() and n >= _DEVICE_MIN:
-        mesh = _ACTIVE_MESH
-        if mesh is not None and n >= mesh.devices.size * _SHARD_MIN_PER_DEVICE:
+        if mesh_shardable(n):
             import jax.numpy as jnp
 
             from . import curve_jax as cj
@@ -80,7 +89,7 @@ def dispatch_msm(scalars, points):
 
             s = jnp.asarray(cj.scalars_from_host(scalars))
             p = jnp.asarray(cj.points_from_host(points))
-            out = sharded.sharded_msm(s, p, mesh, affine=True)
+            out = sharded.sharded_msm(s, p, _ACTIVE_MESH, affine=True)
             return cj.points_to_host(out[..., None])[0]
         from . import msm as msm_mod
 

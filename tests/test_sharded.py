@@ -42,9 +42,7 @@ def test_sharded_msm_device_counts(ndev):
     assert cj.points_to_host(out[..., None])[0] == StarkPoint.msm(scalars, pts)
 
 
-def test_mega_check_routes_through_mesh(monkeypatch):
-    """A range-proof verify with a mesh installed must run its mega-check
-    through sharded_msm (and still accept/reject correctly)."""
+def _proof_and_counter(monkeypatch):
     bp_gens = BulletproofGens(8, 2)
     pc_gens = PedersenGens()
     values = [201, 77]
@@ -61,8 +59,17 @@ def test_mega_check_routes_through_mesh(monkeypatch):
 
     monkeypatch.setattr(sharded, "sharded_msm", counting)
     monkeypatch.setenv("BP_FORCE_BACKEND", "device")
-    # 2 devices: the small proof's ~55-point mega-check must clear the
-    # per-device sharding threshold (16/device)
+    return bp_gens, pc_gens, proof, comms, calls
+
+
+def test_mega_check_routes_through_mesh(monkeypatch):
+    """A range-proof verify with a mesh installed must run its mega-check
+    through sharded_msm (and still accept/reject correctly)."""
+    bp_gens, pc_gens, proof, comms, calls = _proof_and_counter(monkeypatch)
+    # The small proof's ~87-point mega-check clears the 16/device threshold
+    # at 2 devices; drop the split-table crossover so it also prefers the
+    # mesh over the cached native split table.
+    monkeypatch.setattr(bp_backend, "_MESH_OVER_SPLIT_MIN", 0)
     bp_backend.set_mesh(sharded.make_mesh(2))
     try:
         tv = HashChainTranscript(b"mesh-verify")
@@ -70,3 +77,42 @@ def test_mega_check_routes_through_mesh(monkeypatch):
     finally:
         bp_backend.set_mesh(None)
     assert calls["n"] >= 1, "mega-check did not route through the mesh"
+
+
+def test_small_mega_check_keeps_split_table(monkeypatch):
+    """Below the split-table crossover a mesh must NOT steal a small
+    mega-check from the cached native split table (the mesh collective is
+    slower there) — the over_split routing gate."""
+    bp_gens, pc_gens, proof, comms, calls = _proof_and_counter(monkeypatch)
+    if bp_gens.split_table(8, 2, pc_gens) is None:
+        import pytest as _pytest
+
+        _pytest.skip("native split table unavailable")
+    bp_backend.set_mesh(sharded.make_mesh(2))
+    try:
+        tv = HashChainTranscript(b"mesh-verify")
+        proof.verify_multiple(bp_gens, pc_gens, tv, comms, 8)
+    finally:
+        bp_backend.set_mesh(None)
+    assert calls["n"] == 0, "small mega-check abandoned the split table"
+
+
+def test_verify_batch_routes_through_mesh(monkeypatch):
+    """The batched mega-check's mesh path (uniq + b_acc/bb_acc + g_acc/h_acc
+    assembly) must route through sharded_msm and still verify."""
+    bp_gens, pc_gens, proof, comms, calls = _proof_and_counter(monkeypatch)
+    t2 = HashChainTranscript(b"mesh-verify-2")
+    proof2, comms2 = RangeProof.prove_multiple(
+        bp_gens, pc_gens, t2, [33, 150], [Scalar(11), Scalar(12)], 8
+    )
+    monkeypatch.setattr(bp_backend, "_MESH_OVER_SPLIT_MIN", 0)
+    bp_backend.set_mesh(sharded.make_mesh(2))
+    try:
+        tv1 = HashChainTranscript(b"mesh-verify")
+        tv2 = HashChainTranscript(b"mesh-verify-2")
+        RangeProof.verify_batch(
+            [proof, proof2], bp_gens, pc_gens, [tv1, tv2], [comms, comms2], 8
+        )
+    finally:
+        bp_backend.set_mesh(None)
+    assert calls["n"] >= 1, "batched mega-check did not route through the mesh"
