@@ -65,14 +65,23 @@ def _split_mega_check(split, nm, g_scalars, h_scalars, scalars, points, m):
             np.asarray([b_idx, bb_idx], dtype=np.uint32),
         ]
     )
-    fixed = table.msm(
-        list(g_scalars) + list(h_scalars) + [scalars[bpos], scalars[bpos + 1]],
-        idx,
-    )
-    rest = _msm(
-        scalars[:bpos] + scalars[bpos + 2 :], points[:bpos] + points[bpos + 2 :]
-    )
-    return fixed + rest
+    # ONE native dispatch for the whole mega-check: the split-table fixed
+    # part and the variable-base proof points run as interleaved tasks on
+    # the worker pool and their serial combine tails overlap
+    # (native.PointTable.mega_check).  Run sequentially the two Pippenger
+    # tails add up — the dominant proof-scale verify cost.
+    from ...utils import native
+
+    b_pair = native._pack_scalars([scalars[bpos], scalars[bpos + 1]])
+    if isinstance(g_scalars, np.ndarray):  # packed rows straight from native
+        fixed_scalars = np.concatenate([g_scalars, h_scalars, b_pair])
+    else:
+        fixed_scalars = np.concatenate(
+            [native._pack_scalars(list(g_scalars) + list(h_scalars)), b_pair]
+        )
+    var_scalars = scalars[:bpos] + scalars[bpos + 2 :]
+    var_points = points[:bpos] + points[bpos + 2 :]
+    return table.mega_check(fixed_scalars, idx, var_scalars, var_points)
 
 
 def _party_map(fn, items):
@@ -208,10 +217,13 @@ class RangeProof:
                 split, n * m, g_scalars, h_scalars, scalars, points, m
             )
         else:
+            from ...utils.native import scalars_to_ints
+
             G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
             H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
             mega_check = _msm(
-                scalars + g_scalars + h_scalars, points + G + H
+                scalars + scalars_to_ints(g_scalars) + scalars_to_ints(h_scalars),
+                points + G + H,
             )
         if not mega_check.is_identity():
             raise VerificationError("range proof failed verification")
@@ -266,14 +278,15 @@ class RangeProof:
         from ...utils import native
 
         if native.available():
-            # one native pass for the O(nm) vectors (s, y^-i, z^{2+j} 2^i)
-            challenges, challenges_inv = self.ipp_proof.replay_challenges(n * m, t)
-            c = int(t.challenge_scalar(b"c"))
-            y_inv = pow(yv, -1, MOD)
-            g_scalars, h_scalars, u_sq, u_inv_sq = native.rp_verify_vectors(
-                [int(u) for u in challenges],
-                [int(v) for v in challenges_inv],
-                y_inv, zv, a, b, n, m,
+            # ONE native pass: IPP transcript replay (L/R absorbs + u_j and
+            # c challenges), batch inversion, and the O(nm) vector
+            # derivation (s, y^-i, z^{2+j} 2^i) — bp_rp_verify_terms.
+            lg_n = len(self.ipp_proof.L_vec)
+            if lg_n >= 32 or n * m != (1 << lg_n):
+                raise VerificationError("length mismatch with proof")
+            g_scalars, h_scalars, u_sq, u_inv_sq, c = native.rp_verify_terms(
+                t, self.ipp_proof.L_vec, self.ipp_proof.R_vec,
+                yv, zv, a, b, n, m,
             )
         else:
             u_sq, u_inv_sq, s_sc = self.ipp_proof.verification_scalars(n * m, t)
@@ -381,10 +394,13 @@ class RangeProof:
         uniq_scalars: list[int] = []
         uniq_points: list[StarkPoint] = []
 
+        from ...utils.native import scalars_to_ints
+
         for proof, transcript, comms in zip(proofs, transcripts, commitment_lists):
             (g_sc, h_sc), scalars, points = proof._verification_terms(
                 bp_gens, pc_gens, transcript, comms, n
             )
+            g_sc, h_sc = scalars_to_ints(g_sc), scalars_to_ints(h_sc)
             rho = int.from_bytes(_secrets.token_bytes(32), "big") % MOD
             for i in range(nm):
                 g_acc[i] = (g_acc[i] + rho * g_sc[i]) % MOD

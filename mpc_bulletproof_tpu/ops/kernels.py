@@ -232,6 +232,85 @@ def point_scan_steps(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# grid-sequential Horner window combine — the MSM's serial tail
+# ---------------------------------------------------------------------------
+#
+# The window combine acc = sum_w 2^(cw) S_w was a lax.scan whose body issued
+# c+1 separate point_add pallas calls: nw*(c+1) ~ 270 sequential kernel
+# launches per MSM, each on a single padded granule — launch overhead, not
+# compute, and the dominant per-MSM cost of the fused prover (every IPP
+# round runs one).  Here the WHOLE chain is one pallas program: the grid
+# walks nw*(c+1) steps with the accumulator in VMEM scratch; each step is
+# one point add whose second operand is either the accumulator (a doubling)
+# or the step's window block (selected by a scalar predicate), so the body
+# contains a single point-add instance and Mosaic compile time stays flat.
+
+
+def _phorner_kernel(m_ref, b3_ref, k8_ref, k16_ref, k32_ref, one_ref,
+                    w_ref, o_ref, acc_ref, *, c: int):
+    ctx = _kernel_curve_ctx(m_ref, b3_ref, k8_ref, k16_ref, k32_ref)
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    w = w_ref[...].reshape(3, NLZ, _SUB, _LANE)
+
+    @pl.when(t == 0)
+    def _init():
+        zero = jnp.zeros_like(one_ref[...])
+        acc_ref[...] = jnp.stack([zero, one_ref[...], zero], axis=0)
+
+    is_window = (t % (c + 1)) == c
+    acc = acc_ref[...]
+    operand = jnp.where(is_window, w, acc)
+    acc = curve_jax._point_add(acc, operand, ctx)
+    acc_ref[...] = acc
+
+    @pl.when(t == T - 1)
+    def _out():
+        o_ref[...] = acc
+
+
+_MONT_ONE_NLZ = limb.int_to_limbs_np(curve_jax.FP.mont_r, NLZ)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def point_horner_multi(window_sums: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Horner combine of ``(nw, 3, NLZ, k)`` window sums (window 0 = least
+    significant) -> ``(3, NLZ, k)``, ONE pallas dispatch.
+
+    k independent MSM outputs ride the lane axis of the same serial chain
+    (an L/R pair, a verification batch).  Requires k <= GRAN; zero-padding
+    of dead lanes is harmless (their values are discarded).
+    """
+    nw, _, _, k = window_sums.shape
+    ws = window_sums[::-1]  # most significant window first
+    if k < _GRAN:
+        ws = jnp.pad(ws, [(0, 0)] * 3 + [(0, _GRAN - k)])
+    ws5 = ws.reshape(nw, 3, NLZ, _SUB, _LANE)
+    spec = pl.BlockSpec(
+        (1, 3, NLZ, _SUB, _LANE),
+        lambda t: (t // (c + 1), 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (3, NLZ, _SUB, _LANE), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_phorner_kernel, c=c),
+        out_shape=jax.ShapeDtypeStruct((3, NLZ, _SUB, _LANE), jnp.int32),
+        grid=(nw * (c + 1),),
+        in_specs=_curve_specs() + [
+            pl.BlockSpec((NLZ, _SUB, _LANE), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec,
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((3, NLZ, _SUB, _LANE), jnp.int32)],
+        interpret=_interpret(),
+    )(*_curve_operands(), _bcast_const(_MONT_ONE_NLZ, NLZ), ws5)
+    return out.reshape(3, NLZ, _GRAN)[..., :k]
+
+
+# ---------------------------------------------------------------------------
 # single-dispatch point reduction (sum over the batch axis)
 # ---------------------------------------------------------------------------
 #

@@ -402,7 +402,14 @@ def _horner_windows_multi(window_sums: jnp.ndarray, c: int) -> jnp.ndarray:
     ``window_sums``: ``(nw, 3, NLZ, k)`` — the k outputs ride the lane axis
     of the SAME serial doubling chain, so a merged L/R pair (or a whole
     verification batch) pays the ~nw*(c+1) sequential point ops once.
+
+    On TPU the whole chain is ONE grid-sequential pallas program
+    (:func:`.kernels.point_horner_multi`); the lax.scan fallback keeps a
+    single inlined point-add instance for interpreter backends.
     """
+    k = window_sums.shape[-1]
+    if not _compile_friendly() and k <= kernels._GRAN:
+        return kernels.point_horner_multi(window_sums, c)
 
     def horner_body(acc, w_sum):
         for _ in range(c):
@@ -410,7 +417,6 @@ def _horner_windows_multi(window_sums: jnp.ndarray, c: int) -> jnp.ndarray:
         acc = kernels.point_add(acc, w_sum)
         return acc, None
 
-    k = window_sums.shape[-1]
     acc, _ = jax.lax.scan(
         horner_body, cj.identity((k,)), window_sums, reverse=True
     )

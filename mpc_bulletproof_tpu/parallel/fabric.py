@@ -422,9 +422,16 @@ class MpcFabric:
     ) -> AuthenticatedPoint:
         """MSM with shared scalars over public points — local per party
         (reference mpc_prover.rs:592-594: generators are public so the MSM
-        itself needs no communication)."""
-        share = StarkPoint.msm(scalars.shares, list(points))
-        mac = StarkPoint.msm(scalars.macs, list(points))
+        itself needs no communication).
+
+        Both the share row and the MAC row route through the standard
+        backend dispatcher, so large MPC commitment MSMs ride the device /
+        mesh path exactly like the single-prover ones (SURVEY.md §3.3)."""
+        from ..ops import backend
+
+        pts = list(points)
+        share = backend.dispatch_msm(scalars.shares, pts)
+        mac = backend.dispatch_msm(scalars.macs, pts)
         return AuthenticatedPoint(self, share, mac)
 
     def shutdown(self) -> None:

@@ -34,7 +34,9 @@ def _lib():
     except OSError:
         return None
     u8p = ctypes.c_void_p
-    lib.bp_keccak256.argtypes = [u8p, ctypes.c_size_t, u8p]
+    # c_char_p lets python bytes pass pointer-directly (no numpy round trip;
+    # transcript hashing is ~50 calls per proof verification)
+    lib.bp_keccak256.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
     lib.bp_msm.argtypes = [u8p] * 4 + [ctypes.c_size_t] + [u8p] * 3
     lib.bp_points_new.argtypes = [u8p, u8p, u8p, ctypes.c_size_t]
     lib.bp_points_new.restype = ctypes.c_void_p
@@ -43,6 +45,11 @@ def _lib():
     lib.bp_points_free.argtypes = [ctypes.c_void_p]
     lib.bp_msm_indexed.argtypes = [
         ctypes.c_void_p, u8p, ctypes.c_void_p, ctypes.c_size_t,
+        u8p, u8p, u8p,
+    ]
+    lib.bp_mega_check.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.c_void_p, ctypes.c_size_t,
+        u8p, u8p, u8p, u8p, ctypes.c_size_t,
         u8p, u8p, u8p,
     ]
     lib.bp_fold_points.argtypes = [u8p] * 8 + [ctypes.c_size_t] + [u8p] * 3
@@ -66,16 +73,17 @@ def keccak256(data: bytes) -> bytes:
         from ..ops.keccak import _keccak256_py
 
         return _keccak256_py(data)
-    out = np.zeros(32, dtype=np.uint8)
-    raw = np.frombuffer(bytes(data), dtype=np.uint8) if data else np.zeros(0, dtype=np.uint8)
-    lib.bp_keccak256(_buf(raw), len(data), _buf(out))
-    return out.tobytes()
+    out = ctypes.create_string_buffer(32)
+    lib.bp_keccak256(bytes(data), len(data), out)
+    return out.raw
 
 
 _ZERO32 = bytes(32)
 
 
 def _pack_scalars(scalars) -> np.ndarray:
+    if isinstance(scalars, np.ndarray):  # already-packed (k, 32) LE rows
+        return np.ascontiguousarray(scalars, dtype=np.uint8)
     data = b"".join(int(s).to_bytes(32, "little") for s in scalars)
     return np.frombuffer(data, dtype=np.uint8).reshape(len(scalars), 32)
 
@@ -230,6 +238,25 @@ class PointTable:
         self._lib.bp_msm_indexed(
             self._handle, _buf(s),
             idx.ctypes.data, len(idx),
+            _buf(ox), _buf(oy), _buf(oi),
+        )
+        return _unpack_points(ox[None], oy[None], oi)[0]
+
+    def mega_check(self, scalars, indices: np.ndarray, var_scalars, var_points):
+        """``sum_i scalars[i] table[indices[i]] + sum_j var_scalars[j] P_j``
+        in ONE pool dispatch (bp_mega_check): the two Pippenger runs tile
+        all cores and their serial combine tails overlap — the verifier
+        mega-check's whole group-op cost in one native call."""
+        idx = np.ascontiguousarray(indices, dtype=np.uint32)
+        s = _pack_scalars(scalars)
+        sv = _pack_scalars(var_scalars)
+        xs, ys, inf = _pack_points(var_points)
+        ox = np.zeros(32, dtype=np.uint8)
+        oy = np.zeros(32, dtype=np.uint8)
+        oi = np.zeros(1, dtype=np.uint8)
+        self._lib.bp_mega_check(
+            self._handle, _buf(s), idx.ctypes.data, len(idx),
+            _buf(sv), _buf(xs), _buf(ys), _buf(inf), len(var_points),
             _buf(ox), _buf(oy), _buf(oi),
         )
         return _unpack_points(ox[None], oy[None], oi)[0]
@@ -611,5 +638,66 @@ def rp_verify_vectors(u_list, u_inv_list, y_inv, z, a, b, n, m):
         n, m,
         _buf(out_g), _buf(out_h), _buf(out_usq), _buf(out_uisq),
     )
+    # g/h stay PACKED (canonical 32-byte LE rows): they feed straight back
+    # into the native mega-check, and the int round trip was ~15% of the
+    # m=1 verify.  Callers needing ints use scalars_to_ints.
     unpack = lambda arr: [int.from_bytes(row.tobytes(), "little") for row in arr]
-    return unpack(out_g), unpack(out_h), unpack(out_usq), unpack(out_uisq)
+    return out_g, out_h, unpack(out_usq), unpack(out_uisq)
+
+
+def rp_verify_terms(transcript, L_vec, R_vec, y, z, a, b, n, m):
+    """Replay the IPP transcript AND derive the mega-check vectors in one
+    native call (bp_rp_verify_terms): absorbs L_j/R_j, squeezes the u_j and
+    batching challenges, batch-inverts, and emits packed g/h rows.
+
+    Returns ``(g_packed, h_packed, u_sq, u_inv_sq, c)`` and advances
+    ``transcript``.  Raises :class:`ProofError` on an identity L/R (the
+    transcript's validate_and_append_point rejection)."""
+    from ..utils.errors import ProofError
+
+    lib = _lib()
+    if not getattr(lib, "_rpvt_ready", False):
+        u8p = ctypes.c_void_p
+        lib.bp_rp_verify_terms.argtypes = (
+            [u8p] + [u8p] * 6 + [ctypes.c_size_t]
+            + [u8p] * 4 + [ctypes.c_size_t] * 2 + [u8p] * 5
+        )
+        lib.bp_rp_verify_terms.restype = ctypes.c_int
+        lib._rpvt_ready = True
+    lg = len(L_vec)
+    nm = n * m
+    lxs, lys, lis = _pack_points(L_vec)
+    rxs, rys, ris = _pack_points(R_vec)
+    state = np.frombuffer(transcript.state, np.uint8).copy()
+    y_pk = _pack_scalars([y])
+    z_pk = _pack_scalars([z])
+    a_pk = _pack_scalars([a])
+    b_pk = _pack_scalars([b])
+    out_g = np.zeros((nm, 32), np.uint8)
+    out_h = np.zeros((nm, 32), np.uint8)
+    out_usq = np.zeros((lg, 32), np.uint8)
+    out_uisq = np.zeros((lg, 32), np.uint8)
+    out_c = np.zeros(32, np.uint8)
+    err = lib.bp_rp_verify_terms(
+        _buf(state),
+        _buf(lxs), _buf(lys), _buf(lis), _buf(rxs), _buf(rys), _buf(ris), lg,
+        _buf(y_pk), _buf(z_pk), _buf(a_pk), _buf(b_pk), n, m,
+        _buf(out_g), _buf(out_h), _buf(out_usq), _buf(out_uisq), _buf(out_c),
+    )
+    if err:
+        raise ProofError("verification error: identity point in transcript")
+    transcript.state = state.tobytes()
+    unpack = lambda arr: [int.from_bytes(row.tobytes(), "little") for row in arr]
+    c = int.from_bytes(out_c.tobytes(), "little")
+    return out_g, out_h, unpack(out_usq), unpack(out_uisq), c
+
+
+def scalars_to_ints(arr) -> list:
+    """Packed ``(k, 32)`` LE scalar rows (or an int list) -> int list."""
+    if isinstance(arr, np.ndarray):
+        data = arr.tobytes()
+        return [
+            int.from_bytes(data[32 * i : 32 * i + 32], "little")
+            for i in range(arr.shape[0])
+        ]
+    return [int(s) for s in arr]

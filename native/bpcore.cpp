@@ -359,22 +359,83 @@ static const int KECCAK_ROT[5][5] = {
 static inline u64 rol64(u64 x, int s) { return s ? (x << s) | (x >> (64 - s)) : x; }
 
 static void keccak_f(u64 st[25]) {
+    // Flattened round: state in registers, theta/rho/pi/chi fused per round
+    // (the rolled 5x5 loops kept the state in a churned stack array and the
+    // modulo indexing defeated the optimizer — measured 2.6us/permutation;
+    // this form is ~0.4us).  Transcript hashing is ~50 permutations per
+    // proof verification, so this is on the verify critical path.
+    u64 a00 = st[0], a01 = st[1], a02 = st[2], a03 = st[3], a04 = st[4];
+    u64 a05 = st[5], a06 = st[6], a07 = st[7], a08 = st[8], a09 = st[9];
+    u64 a10 = st[10], a11 = st[11], a12 = st[12], a13 = st[13], a14 = st[14];
+    u64 a15 = st[15], a16 = st[16], a17 = st[17], a18 = st[18], a19 = st[19];
+    u64 a20 = st[20], a21 = st[21], a22 = st[22], a23 = st[23], a24 = st[24];
     for (int round = 0; round < 24; ++round) {
-        u64 c[5], d[5], b[25];
-        for (int x = 0; x < 5; ++x)
-            c[x] = st[x] ^ st[x + 5] ^ st[x + 10] ^ st[x + 15] ^ st[x + 20];
-        for (int x = 0; x < 5; ++x)
-            d[x] = c[(x + 4) % 5] ^ rol64(c[(x + 1) % 5], 1);
-        for (int i = 0; i < 25; ++i) st[i] ^= d[i % 5];
-        for (int x = 0; x < 5; ++x)
-            for (int y = 0; y < 5; ++y)
-                b[y + 5 * ((2 * x + 3 * y) % 5)] = rol64(st[x + 5 * y], KECCAK_ROT[x][y]);
-        for (int i = 0; i < 25; ++i) {
-            int x = i % 5, y = i / 5;
-            st[i] = b[i] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]);
-        }
-        st[0] ^= KECCAK_RC[round];
+        // theta
+        u64 c0 = a00 ^ a05 ^ a10 ^ a15 ^ a20;
+        u64 c1 = a01 ^ a06 ^ a11 ^ a16 ^ a21;
+        u64 c2 = a02 ^ a07 ^ a12 ^ a17 ^ a22;
+        u64 c3 = a03 ^ a08 ^ a13 ^ a18 ^ a23;
+        u64 c4 = a04 ^ a09 ^ a14 ^ a19 ^ a24;
+        u64 d0 = c4 ^ rol64(c1, 1);
+        u64 d1 = c0 ^ rol64(c2, 1);
+        u64 d2 = c1 ^ rol64(c3, 1);
+        u64 d3 = c2 ^ rol64(c4, 1);
+        u64 d4 = c3 ^ rol64(c0, 1);
+        a00 ^= d0; a05 ^= d0; a10 ^= d0; a15 ^= d0; a20 ^= d0;
+        a01 ^= d1; a06 ^= d1; a11 ^= d1; a16 ^= d1; a21 ^= d1;
+        a02 ^= d2; a07 ^= d2; a12 ^= d2; a17 ^= d2; a22 ^= d2;
+        a03 ^= d3; a08 ^= d3; a13 ^= d3; a18 ^= d3; a23 ^= d3;
+        a04 ^= d4; a09 ^= d4; a14 ^= d4; a19 ^= d4; a24 ^= d4;
+        // rho + pi: b[y + 5*((2x+3y)%5)] = rol(a[x + 5y], ROT[x][y])
+        u64 b00 = a00;
+        u64 b10 = rol64(a01, 1);
+        u64 b20 = rol64(a02, 62);
+        u64 b05 = rol64(a03, 28);
+        u64 b15 = rol64(a04, 27);
+        u64 b16 = rol64(a05, 36);
+        u64 b01 = rol64(a06, 44);
+        u64 b11 = rol64(a07, 6);
+        u64 b21 = rol64(a08, 55);
+        u64 b06 = rol64(a09, 20);
+        u64 b07 = rol64(a10, 3);
+        u64 b17 = rol64(a11, 10);
+        u64 b02 = rol64(a12, 43);
+        u64 b12 = rol64(a13, 25);
+        u64 b22 = rol64(a14, 39);
+        u64 b23 = rol64(a15, 41);
+        u64 b08 = rol64(a16, 45);
+        u64 b18 = rol64(a17, 15);
+        u64 b03 = rol64(a18, 21);
+        u64 b13 = rol64(a19, 8);
+        u64 b14 = rol64(a20, 18);
+        u64 b24 = rol64(a21, 2);
+        u64 b09 = rol64(a22, 61);
+        u64 b19 = rol64(a23, 56);
+        u64 b04 = rol64(a24, 14);
+        // chi
+        a00 = b00 ^ ((~b01) & b02); a01 = b01 ^ ((~b02) & b03);
+        a02 = b02 ^ ((~b03) & b04); a03 = b03 ^ ((~b04) & b00);
+        a04 = b04 ^ ((~b00) & b01);
+        a05 = b05 ^ ((~b06) & b07); a06 = b06 ^ ((~b07) & b08);
+        a07 = b07 ^ ((~b08) & b09); a08 = b08 ^ ((~b09) & b05);
+        a09 = b09 ^ ((~b05) & b06);
+        a10 = b10 ^ ((~b11) & b12); a11 = b11 ^ ((~b12) & b13);
+        a12 = b12 ^ ((~b13) & b14); a13 = b13 ^ ((~b14) & b10);
+        a14 = b14 ^ ((~b10) & b11);
+        a15 = b15 ^ ((~b16) & b17); a16 = b16 ^ ((~b17) & b18);
+        a17 = b17 ^ ((~b18) & b19); a18 = b18 ^ ((~b19) & b15);
+        a19 = b19 ^ ((~b15) & b16);
+        a20 = b20 ^ ((~b21) & b22); a21 = b21 ^ ((~b22) & b23);
+        a22 = b22 ^ ((~b23) & b24); a23 = b23 ^ ((~b24) & b20);
+        a24 = b24 ^ ((~b20) & b21);
+        // iota
+        a00 ^= KECCAK_RC[round];
     }
+    st[0] = a00; st[1] = a01; st[2] = a02; st[3] = a03; st[4] = a04;
+    st[5] = a05; st[6] = a06; st[7] = a07; st[8] = a08; st[9] = a09;
+    st[10] = a10; st[11] = a11; st[12] = a12; st[13] = a13; st[14] = a14;
+    st[15] = a15; st[16] = a16; st[17] = a17; st[18] = a18; st[19] = a19;
+    st[20] = a20; st[21] = a21; st[22] = a22; st[23] = a23; st[24] = a24;
 }
 
 void bp_keccak256(const u8 *data, size_t len, u8 out[32]) {
@@ -1277,13 +1338,19 @@ static void msm_window_range(const u8 *scalars, const u32 *indices,
     }
 }
 
-static void msm_combine(const Pt *window_sums, int windows, int c,
-                        u8 *out_x, u8 *out_y, u8 *out_inf) {
-    Pt result = PT_IDENT;
+static void msm_combine_pt(const Pt *window_sums, int windows, int c,
+                           Pt &result) {
+    result = PT_IDENT;
     for (int w = windows - 1; w >= 0; --w) {
         for (int i = 0; i < c; ++i) { Pt t; pt_dbl(t, result); result = t; }
         Pt t; pt_add(t, result, window_sums[w]); result = t;
     }
+}
+
+static void msm_combine(const Pt *window_sums, int windows, int c,
+                        u8 *out_x, u8 *out_y, u8 *out_inf) {
+    Pt result;
+    msm_combine_pt(window_sums, windows, c, result);
     pt_to_affine(out_x, out_y, out_inf, result);
 }
 
@@ -1318,8 +1385,11 @@ static void msm_run(const u8 *scalars, const u32 *indices,
             fe52_cache = fe_local.data();
         }
         // pool dispatch costs more than it buys on tiny MSMs — decide the
-        // effective parallelism first so the window picker models it
-        int eff_threads = (k < 256) ? 1 : nthreads;
+        // effective parallelism first so the window picker models it.
+        // Threshold measured on the 4-core host: n=64/130 MSMs improve
+        // 1.3-1.4x from window-group tasks on the pool; n=29 regresses
+        // (wakeup latency exceeds the whole bucket phase).
+        int eff_threads = (k < 56) ? 1 : nthreads;
         MsmJob job{scalars, indices, out_x, out_y, out_inf};
         msm_run_ifma_jobs(&job, 1, pts, fe52_cache, k, bits, eff_threads);
         return;
@@ -1346,6 +1416,82 @@ static void msm_run(const u8 *scalars, const u32 *indices,
     }
     msm_combine(window_sums.data(), windows, c, out_x, out_y, out_inf);
 }
+
+#ifdef BP_HAVE_IFMA
+// Heterogeneous MSM jobs (distinct point tables, point counts, and scalar
+// widths) flattened onto ONE pool dispatch.  The verifier mega-check is the
+// user: the split-table fixed-generator part (64-bit chunks) and the
+// variable-base proof-point part (252-bit) each carry a serial combine tail
+// comparable to their bucket phase; run sequentially the tails add up, run
+// here the bucket tasks tile all cores and the combines proceed on separate
+// workers (reference mega-check: src/r1cs/verifier.rs:516-547).
+struct MixedJob {
+    const u8 *s;
+    const u32 *idx;
+    const std::vector<AffinePt> *pts;
+    const u64 *fe52;
+    size_t k;
+    int bits;
+    Pt result;  // Jacobian output
+    // derived
+    int c = 0, parts = 0, windows = 0, ngroups = 0;
+    std::vector<Pt> wsums;
+    std::vector<u32> iota;
+};
+
+static void msm_run_mixed(MixedJob *jobs, int njobs, int nthreads) {
+    struct Task { int j, g, p; };
+    std::vector<Task> tasks;
+    for (int j = 0; j < njobs; ++j) {
+        MixedJob &jb = jobs[j];
+        // njobs=1 to the picker: each job splits as if it owned the pool.
+        // Jobs here are heterogeneous (a 4k-chunk split-table job next to a
+        // 29-point variable job); modeling the shared pool would make the
+        // big job's tasks coarse and cap the makespan at one giant task.
+        msm_pick_c_parts_ifma(jb.k, 1, nthreads, jb.bits, &jb.c, &jb.parts);
+        jb.windows = (jb.bits + jb.c - 1) / jb.c;
+        jb.ngroups = (jb.windows + 7) / 8;
+        jb.wsums.assign((size_t)jb.parts * jb.windows, PT_IDENT);
+        if (jb.parts > 1 && !jb.idx) {
+            jb.iota.resize(jb.k);
+            for (size_t i = 0; i < jb.k; ++i) jb.iota[i] = (u32)i;
+            jb.idx = jb.iota.data();
+        }
+        for (int p = 0; p < jb.parts; ++p)
+            for (int g = 0; g < jb.ngroups; ++g) tasks.push_back({j, g, p});
+    }
+    parallel_for(tasks.size(), nthreads, [&](size_t t) {
+        const Task &tk = tasks[t];
+        MixedJob &jb = jobs[tk.j];
+        size_t chunk = (jb.k + jb.parts - 1) / jb.parts;
+        size_t b = (size_t)tk.p * chunk;
+        size_t e = b + chunk > jb.k ? jb.k : b + chunk;
+        int w0 = tk.g * 8;
+        int nl = jb.windows - w0 < 8 ? jb.windows - w0 : 8;
+        Pt *out = jb.wsums.data() + (size_t)tk.p * jb.windows;
+        if (b >= e) {
+            for (int L = 0; L < nl; ++L) out[w0 + L] = PT_IDENT;
+            return;
+        }
+        msm_window_group_ifma(jb.s + 32 * b, jb.idx ? jb.idx + b : nullptr,
+                              *jb.pts, jb.fe52, e - b, jb.c, w0, nl, out);
+    });
+    parallel_for((size_t)njobs, njobs < nthreads ? njobs : nthreads,
+                 [&](size_t j) {
+        MixedJob &jb = jobs[j];
+        Pt *acc = jb.wsums.data();
+        for (int p = 1; p < jb.parts; ++p) {
+            const Pt *part = acc + (size_t)p * jb.windows;
+            for (int w = 0; w < jb.windows; ++w) {
+                Pt t;
+                pt_add(t, acc[w], part[w]);
+                acc[w] = t;
+            }
+        }
+        msm_combine_pt(acc, jb.windows, jb.c, jb.result);
+    });
+}
+#endif  // BP_HAVE_IFMA
 
 // Two same-size MSMs over one point table, all window groups of both sides
 // flattened onto the pool (the IPP's L/R pair: independent until both are
@@ -1552,6 +1698,63 @@ void bp_msm_indexed(void *table, const u8 *scalars, const u32 *indices, size_t k
 #else
     msm_run(s, idx, t->pts, kk, out_x, out_y, out_inf, nullptr, 0, bits);
 #endif
+}
+
+// Verifier mega-check: table-indexed fixed part + variable-base part as ONE
+// pool dispatch (see msm_run_mixed), returning the summed point.  The
+// reference computes the same single MSM at src/r1cs/verifier.rs:516-547;
+// here the fixed-generator columns ride the pre-shifted split table
+// (64-bit chunks) while the per-proof points (A, S, T_i, V, L_j, R_j) run
+// at full scalar width — with shared cores and overlapped combine tails.
+void bp_mega_check(void *table,
+                   const u8 *s_fixed, const u32 *idx_fixed, size_t k_fixed,
+                   const u8 *s_var, const u8 *xs, const u8 *ys,
+                   const u8 *inf, size_t k_var,
+                   u8 *out_x, u8 *out_y, u8 *out_inf) {
+    PointTable *t = (PointTable *)table;
+    const u8 *sf = s_fixed;
+    const u32 *idxf = idx_fixed;
+    size_t kf = k_fixed;
+    int bits_f = 252;
+    std::vector<u8> s4;
+    std::vector<u32> i4;
+    if (t->split == 4) {
+        expand_split4(s_fixed, idx_fixed, k_fixed, t->base_n, s4, i4);
+        sf = s4.data(); idxf = i4.data(); kf = 4 * k_fixed; bits_f = 64;
+    }
+    std::vector<AffinePt> var_pts = load_affine(xs, ys, inf, k_var);
+#ifdef BP_HAVE_IFMA
+    if (kf >= 16 && k_var >= 16) {
+        std::vector<u64> var_fe = fe52_table(var_pts);
+        unsigned hw = std::thread::hardware_concurrency();
+        int nthreads = (int)(hw ? hw : 1);
+        MixedJob jobs[2];
+        jobs[0].s = sf; jobs[0].idx = idxf; jobs[0].pts = &t->pts;
+        jobs[0].fe52 = t->fe52.data(); jobs[0].k = kf; jobs[0].bits = bits_f;
+        jobs[1].s = s_var; jobs[1].idx = nullptr; jobs[1].pts = &var_pts;
+        jobs[1].fe52 = var_fe.data(); jobs[1].k = k_var; jobs[1].bits = 252;
+        msm_run_mixed(jobs, 2, nthreads);
+        Pt sum;
+        pt_add(sum, jobs[0].result, jobs[1].result);
+        pt_to_affine(out_x, out_y, out_inf, sum);
+        return;
+    }
+#endif
+    u8 fx[32], fy[32], fi;
+    msm_run(sf, idxf, t->pts, kf, fx, fy, &fi,
+#ifdef BP_HAVE_IFMA
+            t->fe52.data(),
+#else
+            nullptr,
+#endif
+            0, bits_f);
+    u8 vx[32], vy[32], vi;
+    msm_run(s_var, nullptr, var_pts, k_var, vx, vy, &vi);
+    Pt a, b, sum;
+    pt_from_affine(a, fx, fy, fi);
+    pt_from_affine(b, vx, vy, vi);
+    pt_add(sum, a, b);
+    pt_to_affine(out_x, out_y, out_inf, sum);
 }
 
 // ---- per-element double-scalar fold: out_i = ul_i * L_i + ur_i * R_i ----
@@ -2507,14 +2710,14 @@ extern "C" u64 bp_bench_pt_add(u64 iters) {
 //   s (inductive from u_sq), u_sq/u_inv_sq,
 //   g[i] = -(z + a * s[i])
 //   h[i] = z + y^-i * (z^{2+j} 2^{i mod n} - b * s_inv[i])
-extern "C" void bp_rp_verify_vectors(
-    const u8 *u_le, const u8 *u_inv_le, size_t lg,
-    const u8 *y_inv_le, const u8 *z_le,
-    const u8 *a_le, const u8 *b_le,
+static void rp_vectors_core(
+    const std::vector<Fr> &u, const std::vector<Fr> &ui,
+    const Fr &yinv, const Fr &z, const Fr &a, const Fr &b,
     size_t n, size_t m,
     u8 *out_g, u8 *out_h, u8 *out_u_sq, u8 *out_u_inv_sq)
 {
     const size_t nm = n * m;
+    const size_t lg = u.size();
     std::vector<Fr> usq(lg), uisq(lg);
     Fr one;
     {
@@ -2523,15 +2726,12 @@ extern "C" void bp_rp_verify_vectors(
     }
     Fr allinv = one;
     for (size_t i = 0; i < lg; ++i) {
-        Fr u, ui;
-        fr_from_bytes(u, u_le + 32 * i);
-        fr_from_bytes(ui, u_inv_le + 32 * i);
-        fr_mul(usq[i], u, u);
-        fr_mul(uisq[i], ui, ui);
+        fr_mul(usq[i], u[i], u[i]);
+        fr_mul(uisq[i], ui[i], ui[i]);
         fr_to_bytes(out_u_sq + 32 * i, usq[i]);
         fr_to_bytes(out_u_inv_sq + 32 * i, uisq[i]);
         Fr t;
-        fr_mul(t, allinv, ui);
+        fr_mul(t, allinv, ui[i]);
         allinv = t;
     }
 
@@ -2543,11 +2743,6 @@ extern "C" void bp_rp_verify_vectors(
         fr_mul(s[i], s[i - k], usq[lg - 1 - (size_t)lg_i]);
     }
 
-    Fr yinv, z, a, b;
-    fr_from_bytes(yinv, y_inv_le);
-    fr_from_bytes(z, z_le);
-    fr_from_bytes(a, a_le);
-    fr_from_bytes(b, b_le);
     Fr zz;
     fr_mul(zz, z, z);
     Fr two;
@@ -2579,4 +2774,101 @@ extern "C" void bp_rp_verify_vectors(
         fr_mul(t, exp_z, z);
         exp_z = t;
     }
+}
+
+extern "C" void bp_rp_verify_vectors(
+    const u8 *u_le, const u8 *u_inv_le, size_t lg,
+    const u8 *y_inv_le, const u8 *z_le,
+    const u8 *a_le, const u8 *b_le,
+    size_t n, size_t m,
+    u8 *out_g, u8 *out_h, u8 *out_u_sq, u8 *out_u_inv_sq)
+{
+    std::vector<Fr> u(lg), ui(lg);
+    for (size_t i = 0; i < lg; ++i) {
+        fr_from_bytes(u[i], u_le + 32 * i);
+        fr_from_bytes(ui[i], u_inv_le + 32 * i);
+    }
+    Fr yinv, z, a, b;
+    fr_from_bytes(yinv, y_inv_le);
+    fr_from_bytes(z, z_le);
+    fr_from_bytes(a, a_le);
+    fr_from_bytes(b, b_le);
+    rp_vectors_core(u, ui, yinv, z, a, b, n, m,
+                    out_g, out_h, out_u_sq, out_u_inv_sq);
+}
+
+// Whole verifier scalar derivation in one call: replay the IPP transcript
+// (absorb L_j/R_j, squeeze u_j — reference src/inner_product_proof.rs:
+// 254-310), squeeze the batching challenge c, batch-invert, and emit the
+// mega-check vectors.  Removes ~50 python<->native keccak round trips from
+// the verify critical path.  Returns nonzero if any L/R is the identity
+// (the transcript's validate_and_append_point rejection).
+extern "C" int bp_rp_verify_terms(
+    u8 *transcript_state,
+    const u8 *lxs, const u8 *lys, const u8 *lis,
+    const u8 *rxs, const u8 *rys, const u8 *ris, size_t lg,
+    const u8 *y_le, const u8 *z_le, const u8 *a_le, const u8 *b_le,
+    size_t n, size_t m,
+    u8 *out_g, u8 *out_h, u8 *out_u_sq, u8 *out_u_inv_sq, u8 *out_c)
+{
+    const size_t nm = n * m;
+    Transcript tr;
+    memcpy(tr.state, transcript_state, 32);
+    // innerproduct_domain_sep(nm): append_message("dom-sep", pad32("ipp v1"))
+    // then append_u64("n", nm)
+    u8 dom[32] = {0};
+    memcpy(dom, "ipp v1", 6);
+    tr_absorb(tr, (const u8 *)"dom-sep", 7, dom, 32);
+    u8 nm_le[8];
+    u64 nm64 = (u64)nm;
+    memcpy(nm_le, &nm64, 8);
+    tr_absorb(tr, (const u8 *)"n", 1, nm_le, 8);
+
+    std::vector<Fr> u(lg), ui(lg);
+    for (size_t i = 0; i < lg; ++i) {
+        if (lis[i] || ris[i]) return 1;  // identity point in transcript
+        tr_append_point_affine(tr, (const u8 *)"L", 1,
+                               lxs + 32 * i, lys + 32 * i, 0);
+        tr_append_point_affine(tr, (const u8 *)"R", 1,
+                               rxs + 32 * i, rys + 32 * i, 0);
+        tr_challenge_scalar(tr, (const u8 *)"u", 1, u[i]);
+    }
+    Fr c;
+    tr_challenge_scalar(tr, (const u8 *)"c", 1, c);
+    fr_to_bytes(out_c, c);
+    memcpy(transcript_state, tr.state, 32);
+
+    // batch inversion of the challenges (one fr_inv for all lg)
+    if (lg) {
+        std::vector<Fr> prefix(lg);
+        Fr acc;
+        {
+            u8 onebuf[32] = {1};
+            fr_from_bytes(acc, onebuf);
+        }
+        for (size_t i = 0; i < lg; ++i) {
+            prefix[i] = acc;
+            Fr t;
+            fr_mul(t, acc, u[i]);
+            acc = t;
+        }
+        Fr inv_acc;
+        fr_inv(inv_acc, acc);
+        for (size_t i = lg; i-- > 0;) {
+            fr_mul(ui[i], inv_acc, prefix[i]);
+            Fr t;
+            fr_mul(t, inv_acc, u[i]);
+            inv_acc = t;
+        }
+    }
+
+    Fr y, yinv, z, a, b;
+    fr_from_bytes(y, y_le);
+    fr_inv(yinv, y);
+    fr_from_bytes(z, z_le);
+    fr_from_bytes(a, a_le);
+    fr_from_bytes(b, b_le);
+    rp_vectors_core(u, ui, yinv, z, a, b, n, m,
+                    out_g, out_h, out_u_sq, out_u_inv_sq);
+    return 0;
 }
