@@ -268,6 +268,59 @@ def bench_mpc(reps):
 
     record("mpc-r1cs-verify", "opened proof, plain verifier", timeit(verify, reps))
 
+    # Aggregated-scale collaborative shuffle (k=256 -> ~510 multipliers,
+    # 1024-slot circuit): the configuration where the MPC commitment MSMs
+    # (fabric.shared_msm, now routed through dispatch_msm) are large enough
+    # for the device/mesh plane to matter.  Run on the device data plane by
+    # benching with a live TPU backend (dispatch_msm routes automatically).
+    from mpc_bulletproof_tpu.models.r1cs.gadgets import shuffle_gadget
+
+    k = 256
+    gens_big = BulletproofGens(1024, 1)
+    s_inputs = [rand_scalar() for _ in range(k)]
+    s_outputs = s_inputs[1:] + s_inputs[:1]
+    s_blind = [rand_scalar() for _ in range(2 * k)]
+
+    def shuffle_round():
+        net0, net1 = make_local_pair()
+        fabrics = [MpcFabric(net0, PartyIdBeaverSource(0)),
+                   MpcFabric(net1, PartyIdBeaverSource(1))]
+        results = [None, None]
+
+        def party(i):
+            fabric = fabrics[i]
+            t = HashChainTranscript(b"bench-mpc-shuffle")
+            prover = MpcProver(fabric, PC, t)
+            if fabric.party_id == 0:
+                in_c, in_v = prover.batch_commit(0, s_inputs, s_blind[:k])
+                out_c, out_v = prover.batch_commit(1, None, None, count=k)
+            else:
+                in_c, in_v = prover.batch_commit(0, None, None, count=k)
+                out_c, out_v = prover.batch_commit(1, s_outputs, s_blind[k:])
+            shuffle_gadget(prover, in_v, out_v)
+            results[i] = (prover.prove(gens_big).open(), in_c + out_c)
+
+        threads = [threading.Thread(target=party, args=(i,)) for i in (0, 1)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        return results[0]
+
+    record("mpc-r1cs-prove", "shuffle k=256, 2 parties",
+           timeit(shuffle_round, max(1, reps // 3)))
+    s_proof, s_comms = shuffle_round()
+
+    def shuffle_verify():
+        vt = HashChainTranscript(b"bench-mpc-shuffle")
+        verifier = Verifier(PC, vt)
+        vs = [verifier.commit(c) for c in s_comms]
+        shuffle_gadget(verifier, vs[:k], vs[k:])
+        verifier.verify(s_proof, gens_big)
+
+    record("mpc-r1cs-verify", "shuffle k=256, opened proof",
+           timeit(shuffle_verify, reps))
+
 
 def main():
     ap = argparse.ArgumentParser()

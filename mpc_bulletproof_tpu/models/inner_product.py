@@ -578,13 +578,20 @@ def _fused_ipp_fn(n: int):
     return fn
 
 
-def fused_ipp_body(n: int):
+def fused_ipp_body(n: int, shard=None):
     """The traceable fused-IPP program for size ``n`` (unjitted).
 
     Returned callable: ``run(state32, a_d, b_d, wG, wH, pts_d) ->
     (state32, a_final, b_final, xs, ys, iids)``.  Used standalone by
     :func:`_fused_ipp_fn` and inlined by the fused range-proof prover
     (``models/range_proof/fused_device.py``).
+
+    ``shard=(axis_name, ndev)`` builds the multi-chip variant for use
+    INSIDE a ``shard_map``: every round's L/R pair MSM computes per-device
+    partials over a lane slice and folds them with one ``all_gather`` —
+    the round's only collective.  The cheap O(n) vector work (coefficient
+    updates, folds, transcript) is replicated on every device, which costs
+    no communication and keeps the hash chain in lockstep.
     """
     import jax
     import jax.numpy as jnp
@@ -596,9 +603,33 @@ def fused_ipp_body(n: int):
     from ..ops import msm as msm_mod
     from ..ops import transcript_jax as tj
 
+    from ..parallel.sharded import shard_pad_msm
+
     NLc = limb.NL
-    c = msm_mod.select_window(n + 1)
     nh = n // 2
+    if shard is None:
+        c = msm_mod.select_window(n + 1)
+
+        def pair_msm(sL, pL, sR, pR):
+            return msm_mod._msm_batched_pair_impl(sL, pL, sR, pR, c)
+    else:
+        ax, ndev = shard
+        ck = -(-(n + 1) // ndev)
+        c = msm_mod.select_window(ck)
+
+        def pair_msm(sL, pL, sR, pR):
+            (sL, pL), (sR, pR) = shard_pad_msm(sL, pL, ck * ndev), shard_pad_msm(sR, pR, ck * ndev)
+            d = jax.lax.axis_index(ax)
+            sl = jax.lax.dynamic_slice_in_dim(sL, d * ck, ck, axis=-1)
+            pl = jax.lax.dynamic_slice_in_dim(pL, d * ck, ck, axis=-1)
+            sr = jax.lax.dynamic_slice_in_dim(sR, d * ck, ck, axis=-1)
+            pr = jax.lax.dynamic_slice_in_dim(pR, d * ck, ck, axis=-1)
+            part = msm_mod._msm_batched_pair_impl(sl, pl, sr, pr, c)  # (3, NLZ, 2)
+            gathered = jax.lax.all_gather(part, ax)  # (ndev, 3, NLZ, 2)
+            pairs = jnp.moveaxis(gathered, 0, -1)  # (3, NLZ, 2, ndev)
+            L_tot = msm_mod._reduce_sum_tree(pairs[:, :, 0])
+            R_tot = msm_mod._reduce_sum_tree(pairs[:, :, 1])
+            return jnp.concatenate([L_tot, R_tot], axis=-1)
 
     idxL_all, idxR_all = [], []
     cur = n
@@ -640,9 +671,7 @@ def fused_ipp_body(n: int):
 
             # L and R as ONE merged program: shared bucket phase, one
             # Horner chain with both outputs on the lane axis
-            LR = msm_mod._msm_batched_pair_impl(
-                sL, pts_d[:, :, idxL], sR, pts_d[:, :, idxR], c
-            )
+            LR = pair_msm(sL, pts_d[:, :, idxL], sR, pts_d[:, :, idxR])
 
             x, y, iid = tj.lazy_points_to_affine(LR)
             enc = tj.points_transcript_bytes(x, y, iid)  # (64, 2)

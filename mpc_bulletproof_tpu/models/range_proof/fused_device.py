@@ -83,9 +83,20 @@ def _device_pc(pc_gens: PedersenGens):
     return per["pc"]
 
 
-def _program(n: int, m: int):
-    """Build (and cache) the jitted fused prover for (bitsize n, parties m)."""
-    key = (n, m)
+def _program(n: int, m: int, mesh=None, axis: str = "dp"):
+    """Build (and cache) the jitted fused prover for (bitsize n, parties m).
+
+    With ``mesh`` the SAME protocol program compiles as one SPMD
+    ``shard_map`` over the mesh: the S commitment MSM, the A bit-sum, the
+    t-polynomial inner products, and every IPP round's L/R pair MSM shard
+    over the lane axis (per-device partials + one collective each); the
+    O(nm) elementwise vector work and the keccak hash chain replicate on
+    all devices — zero communication, transcripts in lockstep.  This is
+    the designed v5e-8 path for the BASELINE.md north-star config
+    (aggregated m=64 proving: the 8,192-lane commitment phase and the
+    4,096-lane IPP shard 8 ways).
+    """
+    key = (n, m, mesh, axis)
     fn = _PROGRAM_CACHE.get(key)
     if fn is not None:
         return fn
@@ -98,11 +109,32 @@ def _program(n: int, m: int):
     from ...ops import limb
     from ...ops import msm as msm_mod
     from ...ops import transcript_jax as tj
+    from ...parallel import sharded as sh
 
     NL = limb.NL
     nm = n * m
-    ipp_run = fused_ipp_body(nm)
-    c_big = msm_mod.select_window(2 * nm)
+    ndev = mesh.devices.size if mesh is not None else 1
+    ipp_run = fused_ipp_body(nm, shard=(axis, ndev) if mesh is not None else None)
+    c_big = msm_mod.select_window(2 * nm if mesh is None else -(-2 * nm // ndev))
+
+    if mesh is None:
+        def big_msm(s, p):
+            return msm_mod._msm_device_impl(s, p, c_big, affine=True)
+
+        def big_point_sum(pts):
+            return msm_mod._reduce_sum(pts)
+
+        def big_inner(a, b):
+            return limb._inner_product_mod(a, b, limb.FR)[:, None]
+    else:
+        def big_msm(s, p):
+            return sh.insh_msm(s, p, ndev, axis, affine=True)
+
+        def big_point_sum(pts):
+            return sh.insh_point_sum(pts, ndev, axis)
+
+        def big_inner(a, b):
+            return sh.insh_inner_product(a, b, ndev, axis)
     # 2^i powers, tiled per party: static constant (NL, nm)
     exp2 = np.concatenate(
         [limb.ints_to_limbs([1 << i for i in range(n)])] * m, axis=-1
@@ -146,16 +178,15 @@ def _program(n: int, m: int):
         selG = cj._point_select(bits_b, G_pts, cj.identity((nm,)))
         selH = cj._point_select(bits_b, cj.identity((nm,)), cj._point_neg(H_pts))
         A_pt = cj._point_add(
-            msm_mod._reduce_sum(jnp.concatenate([selG, selH], axis=-1)),
+            big_point_sum(jnp.concatenate([selG, selH], axis=-1)),
             A_blind,
         )
 
-        # S = <s_L, G> + <s_R, H> + rho_sum B~
-        S_msm = msm_mod._msm_device_impl(
+        # S = <s_L, G> + <s_R, H> + rho_sum B~  (G/H are points_from_host
+        # generators, hence affine)
+        S_msm = big_msm(
             jnp.concatenate([sL, sR], axis=-1),
             jnp.concatenate([G_pts, H_pts], axis=-1),
-            c_big,
-            affine=True,  # G/H are points_from_host generators
         )
         S_pt = cj._point_add(S_msm[..., None], S_blind)
 
@@ -188,11 +219,11 @@ def _program(n: int, m: int):
         r1 = limb._mod_mul(y_pows, sR, FR)
 
         # t-polynomial (aggregated over parties = global inner products)
-        t0 = limb._inner_product_mod(l0, r0, FR)[:, None]
-        t2 = limb._inner_product_mod(l1, r1, FR)[:, None]
-        t_sum = limb._inner_product_mod(
-            limb._mod_add(l0, l1, FR), limb._mod_add(r0, r1, FR), FR
-        )[:, None]
+        t0 = big_inner(l0, r0)
+        t2 = big_inner(l1, r1)
+        t_sum = big_inner(
+            limb._mod_add(l0, l1, FR), limb._mod_add(r0, r1, FR)
+        )
         t1 = limb._mod_sub(limb._mod_sub(t_sum, t0, FR), t2, FR)
 
         # T_1 = t1 B + t1b_sum B~ ; T_2 likewise — one 2-lane table eval
@@ -265,7 +296,29 @@ def _program(n: int, m: int):
              jnp.zeros((NL - 1, nm), jnp.int32)], axis=0
         )
 
-    fn = jax.jit(run)
+    if mesh is None:
+        fn = jax.jit(run)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:  # pragma: no cover - moved in newer JAX
+            from jax.shard_map import shard_map
+
+        # All operands replicated; the heavy reductions slice their own
+        # lanes by axis_index and fold with collectives (see insh_* in
+        # parallel/sharded.py).  A single P() is the pytree prefix for
+        # every input/output leaf.
+        fn = jax.jit(
+            shard_map(
+                run,
+                mesh=mesh,
+                in_specs=(P(),) * 15,
+                out_specs=P(),
+                check_rep=False,
+            )
+        )
     _PROGRAM_CACHE[key] = fn
     return fn
 
@@ -284,11 +337,13 @@ def prove_multiple_device(
     blindings: list[Scalar],
     n: int,
     rng_bytes=None,
+    mesh=None,
 ):
     """Fused device aggregated prove; same semantics as the host
     party/dealer path (RangeProof.prove_multiple) including transcript
     state.  ``rng_bytes`` mirrors party.py's injection point for
-    deterministic tests."""
+    deterministic tests.  ``mesh`` compiles the whole prover as one SPMD
+    shard_map over the device mesh (see :func:`_program`)."""
     import secrets
 
     import jax.numpy as jnp
@@ -328,7 +383,7 @@ def prove_multiple_device(
     G_dev, H_dev = _device_gens(bp_gens, n, m)
     B_dev, Bb_dev, fb_table = _device_pc(pc_gens)
 
-    fn = _program(n, m)
+    fn = _program(n, m, mesh=mesh)
     sum_s = lambda xs: Scalar(sum(int(x) for x in xs))
     state32 = jnp.asarray(np.frombuffer(transcript.state, np.uint8).astype(np.uint32))
     out = fn(

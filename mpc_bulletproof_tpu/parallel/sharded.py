@@ -92,6 +92,86 @@ def _tree_sum(pts):
     return pts
 
 
+# ---------------------------------------------------------------------------
+# in-shard helpers: building blocks for SPMD programs that run INSIDE a
+# shard_map body with fully-replicated operands (the fused prover).  Each
+# device slices its lane range with axis_index, computes a partial, and the
+# partials fold with one collective.  The cheap O(n) elementwise work stays
+# replicated: zero communication and every device's transcript in lockstep.
+# ---------------------------------------------------------------------------
+
+
+def shard_pad_msm(scalars, points, total: int):
+    """Pad an MSM operand pair on the lane axis to ``total`` lanes.
+
+    Zero scalars fall in Pippenger bucket 0, which the signed-bucket suffix
+    sums exclude, so (0, identity) padding contributes nothing."""
+    k = scalars.shape[-1]
+    if k == total:
+        return scalars, points
+    pad = total - k
+    return (
+        jnp.pad(scalars, [(0, 0), (0, pad)]),
+        jnp.concatenate([points, cj.identity((pad,))], axis=-1),
+    )
+
+
+def insh_slice(arr, ck: int, axis_name: str):
+    """This device's ``ck``-lane slice of a replicated lanes-last array."""
+    d = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice_in_dim(arr, d * ck, ck, axis=-1)
+
+
+def insh_point_sum(pts, ndev: int, axis_name: str):
+    """Replicated ``(3, NLZ, k)`` -> replicated ``(3, NLZ, 1)`` point sum:
+    per-device tree over a lane slice, one all_gather, log(ndev) adds."""
+    k = pts.shape[-1]
+    ck = -(-k // ndev)
+    if ck * ndev != k:
+        pts = jnp.concatenate([pts, cj.identity((ck * ndev - k,))], axis=-1)
+    part = _tree_sum(insh_slice(pts, ck, axis_name))  # (3, NLZ, 1)
+    gathered = jax.lax.all_gather(part[..., 0], axis_name)  # (ndev, 3, NLZ)
+    return _tree_sum(jnp.moveaxis(gathered, 0, -1))
+
+
+def insh_msm(scalars, points, ndev: int, axis_name: str,
+             affine: bool = False):
+    """Replicated MSM operands -> replicated ``(3, NLZ)`` result with
+    per-device Pippenger partials (the sharded_msm pattern, usable inside
+    an enclosing shard_map)."""
+    from ..ops import msm as msm_mod
+
+    ck = -(-scalars.shape[-1] // ndev)
+    scalars, points = shard_pad_msm(scalars, points, ck * ndev)
+    c = msm_mod.select_window(ck)
+    part = msm_mod._msm_device_impl(
+        insh_slice(scalars, ck, axis_name), insh_slice(points, ck, axis_name),
+        c, affine=affine,
+    )
+    gathered = jax.lax.all_gather(part, axis_name)  # (ndev, 3, NLZ)
+    return _tree_sum(jnp.moveaxis(gathered, 0, -1))[..., 0]
+
+
+def insh_inner_product(a, b, ndev: int, axis_name: str, mp: ModParams = FR):
+    """Replicated ``(NL, k)`` operands -> replicated ``(NL, 1)`` modular
+    inner product: per-device wide int32 partials, one psum, one Barrett.
+
+    Safe while ``k * 2^26 < 2^31`` (k < 32768) — every fused-prover length
+    qualifies; larger vectors must pre-chunk like limb._inner_product_mod."""
+    k = a.shape[-1]
+    ck = -(-k // ndev)
+    if ck * ndev != k:
+        pad = [(0, 0), (0, ck * ndev - k)]
+        a = jnp.pad(a, pad)
+        b = jnp.pad(b, pad)
+    a_loc = insh_slice(a, ck, axis_name)
+    b_loc = insh_slice(b, ck, axis_name)
+    prods = limb.carry_prop(limb.conv_full(a_loc, b_loc), WIDE)
+    partial = jnp.sum(prods, axis=-1)
+    total = jax.lax.psum(partial, axis_name)
+    return limb._barrett_reduce(limb.carry_prop(total[:, None], WIDE), mp)
+
+
 def sharded_msm(scalars, points, mesh: Mesh, c: int | None = None, axis: str = "dp",
                 affine: bool = False):
     """Pippenger MSM sharded over ``axis``: per-device buckets, partial
