@@ -68,12 +68,22 @@ def bench_point_add():
                 out = kernels.point_add(out, b)
             return out
 
-        t1 = timeit(lambda x, y: chain(x, y, 2), a, b)
-        t5 = timeit(lambda x, y: chain(x, y, 10), a, b)
-        net = (t5 - t1) / 8
-        RESULTS[f"point_add_n{n}"] = {
-            "ms": net * 1e3, "Madds_per_s": n / net / 1e6}
-        print(f"point_add n={n}: {net*1e3:.2f} ms -> {n/net/1e6:.1f} M adds/s")
+        # Subtracting two chain timings cancels dispatch overhead, but at
+        # small n the difference can drown in tunnel-latency noise (a
+        # negative "net" shipped in round 3's first profile).  Use a wide
+        # rep gap, more samples, and refuse to publish a non-positive net.
+        t1 = timeit(lambda x, y: chain(x, y, 2), a, b, reps=5)
+        t5 = timeit(lambda x, y: chain(x, y, 18), a, b, reps=5)
+        net = (t5 - t1) / 16
+        entry = {"chain2_ms": t1 * 1e3, "chain18_ms": t5 * 1e3}
+        if net > 0:
+            entry.update({"ms": net * 1e3, "Madds_per_s": n / net / 1e6})
+            print(f"point_add n={n}: {net*1e3:.2f} ms -> {n/net/1e6:.1f} M adds/s")
+        else:
+            entry.update({"ms": None, "Madds_per_s": None,
+                          "note": "net <= 0: dispatch noise exceeded kernel time"})
+            print(f"point_add n={n}: below dispatch-noise floor (t1={t1*1e3:.2f}ms t5={t5*1e3:.2f}ms)")
+        RESULTS[f"point_add_n{n}"] = entry
 
 
 def bench_scan():
@@ -132,6 +142,27 @@ def bench_msm_phases():
     print(f"msm 2^20 gather (8 windows): {dt*1e3:.1f} ms (x{nw/8:.0f} for all)")
 
 
+def bench_msm_shard_inputs():
+    """Measured inputs for the multi-chip scaling model (BASELINE.md >= 80%
+    at 2 hosts): the per-device Pippenger partial time at the shard sizes a
+    D-device mesh assigns for a 2^20-lane MSM (n/D lanes each), with the
+    window ``sharded_msm`` would pick for that shard.  Real-chip scaling is
+    t(2^20) / (D * [t(2^20/D) + combine]); the combine (one all_gather of a
+    (3, NLZ) partial + lg D point adds) is measured separately on the
+    virtual mesh (benches/scaling_bench.py --collective)."""
+    n_total = 1 << 20
+    for d in (1, 2, 4, 8):
+        n = n_total // d
+        s, p = rand_scl(n), rand_pts(n)
+        c = msm.select_window(n)
+        f = jax.jit(lambda s, p: msm._msm_device_impl(s, p, c, affine=False))
+        dt = timeit(f, s, p, reps=2)
+        RESULTS[f"msm20_shard_d{d}"] = {
+            "n": n, "c": c, "ms": dt * 1e3, "Mpts_per_s": n / dt / 1e6}
+        print(f"msm 2^20 shard d={d} (n=2^{n.bit_length()-1}, c={c}): "
+              f"{dt*1e3:.1f} ms")
+
+
 def bench_fused_prove():
     from mpc_bulletproof_tpu import (BulletproofGens, HashChainTranscript,
                                      PedersenGens, Scalar)
@@ -161,7 +192,7 @@ def bench_fused_prove():
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["add", "scan", "msm", "phases", "fused"]
+    which = sys.argv[1:] or ["add", "scan", "msm", "phases", "shard", "fused"]
     print(f"device={jax.devices()[0]}")
     if "add" in which:
         bench_point_add()
@@ -171,6 +202,8 @@ if __name__ == "__main__":
         bench_msm()
     if "phases" in which:
         bench_msm_phases()
+    if "shard" in which:
+        bench_msm_shard_inputs()
     if "fused" in which:
         bench_fused_prove()
     out = os.path.join(os.path.dirname(__file__), "kernel_profile.json")

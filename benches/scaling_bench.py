@@ -17,6 +17,44 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def measure_collective(devices, emit):
+    """Measure the sharded-MSM combine phase in isolation on the available
+    mesh: one all_gather of each device's (3, NLZ) Pippenger partial plus
+    the lg(D)-deep point-add fold.  On the virtual CPU mesh this bounds the
+    *software* overhead of the combine (real-ICI latency is lower); its
+    value feeds the measured-inputs scaling table."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_bulletproof_tpu.parallel import sharded
+    from mpc_bulletproof_tpu.ops import limb
+
+    out = {}
+    for ndev in devices:
+        if ndev > len(jax.devices()):
+            continue
+        mesh = sharded.make_mesh(ndev)
+        rng = np.random.default_rng(9)
+        pts = jnp.asarray(
+            rng.integers(0, 1 << 13, (3, limb.NLZ, ndev), dtype=np.int32)
+        )
+
+        def run(p):
+            return sharded.sharded_point_sum(p, mesh)
+
+        run(pts).block_until_ready()  # compile
+        reps = 20
+        t0 = time.time()
+        for _ in range(reps):
+            r = run(pts)
+        r.block_until_ready()
+        dt = (time.time() - t0) / reps
+        out[ndev] = dt
+        emit(f"  combine devices={ndev}: {dt*1e6:8.1f} us")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2048)
@@ -104,15 +142,64 @@ def main():
                 f"{adds/1e6:7.2f}M adds/dev  model-efficiency={eff:5.1f}%"
             )
 
+    # Combine-phase cost, measured on the available mesh.
+    emit("")
+    emit("Combine phase (all_gather of (3,NLZ) partials + lg D fold), measured:")
+    combine = measure_collective(args.devices, emit)
+
+    # Measured-inputs scaling table: per-device Pippenger partial times at
+    # the D-way shard sizes of a 2^20 MSM, measured ON THE REAL CHIP by
+    # benches/kernel_profile.py (msm20_shard_d*), combined with the
+    # measured combine cost above.  This replaces arithmetic with
+    # measurement everywhere a single chip can measure it; only the
+    # assumption "D chips run their identical partials concurrently"
+    # remains unmeasured (it is the definition of SPMD on a real mesh).
+    import json
+
+    prof_path = os.path.join(os.path.dirname(__file__), "kernel_profile.json")
+    measured_rows = []
+    try:
+        with open(prof_path) as fh:
+            prof = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        prof = {}
+    t1_chip = prof.get("msm20_shard_d1", {}).get("ms")
+    if t1_chip:
+        emit("")
+        emit("Measured inputs (v5e chip, benches/kernel_profile.py msm20_shard_d*):")
+        for ndev in args.devices:
+            ent = prof.get(f"msm20_shard_d{ndev}", {})
+            if not ent.get("ms"):
+                continue
+            comb_ms = combine.get(ndev, 0.0) * 1e3
+            t_dev = ent["ms"] + comb_ms
+            eff = t1_chip / (t_dev * ndev) * 100
+            row = (
+                f"  n=2^20 devices={ndev}: shard={ent['ms']:8.1f} ms (chip-measured)"
+                f" + combine={comb_ms:6.2f} ms -> projected efficiency={eff:5.1f}%"
+            )
+            measured_rows.append(row)
+            emit(row)
+
     out_path = os.path.join(os.path.dirname(__file__), "scaling_results.md")
     with open(out_path, "w") as fh:
         fh.write(
             "# Sharded MSM scaling (benches/scaling_bench.py)\n\n"
-            "Measured on the virtual CPU mesh (validation of the sharded\n"
-            "path only — virtual devices share host cores, so wall-clock\n"
-            "efficiency is NOT meaningful there), plus the analytic\n"
-            "per-device work model that governs real-chip scaling\n"
-            "(BASELINE.md: >= 80% at 2 hosts).\n\n```\n"
+            "Three tables, in decreasing order of measurement content:\n\n"
+            "1. **Virtual-mesh wall clock** — validates only that the sharded\n"
+            "   path compiles and runs; the virtual devices time-share the\n"
+            "   same host cores, so D-device wall clock CANNOT go below the\n"
+            "   1-device time (the ~0.78x 'slowdown' rows are the expected\n"
+            "   signature of core-sharing plus collective overhead, not a\n"
+            "   property of the algorithm).\n"
+            "2. **Measured-inputs projection** — per-device Pippenger shard\n"
+            "   times measured on the real v5e chip at exactly the sizes a\n"
+            "   D-device mesh assigns (kernel_profile.json msm20_shard_d*),\n"
+            "   plus the combine phase measured on the mesh.  The only\n"
+            "   remaining assumption is concurrent execution of the\n"
+            "   identical per-device programs.\n"
+            "3. **Analytic work model** — retained for sizes without chip\n"
+            "   measurements.\n\n```\n"
             + "\n".join(lines)
             + "\n```\n"
         )
