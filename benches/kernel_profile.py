@@ -72,17 +72,19 @@ def bench_point_add():
         # small n the difference can drown in tunnel-latency noise (a
         # negative "net" shipped in round 3's first profile).  Use a wide
         # rep gap, more samples, and refuse to publish a non-positive net.
-        t1 = timeit(lambda x, y: chain(x, y, 2), a, b, reps=5)
-        t5 = timeit(lambda x, y: chain(x, y, 18), a, b, reps=5)
-        net = (t5 - t1) / 16
-        entry = {"chain2_ms": t1 * 1e3, "chain18_ms": t5 * 1e3}
+        R_LO, R_HI = 2, 18  # chain depths; net = (t_hi - t_lo) / (R_HI - R_LO)
+        t_lo = timeit(lambda x, y: chain(x, y, R_LO), a, b, reps=5)
+        t_hi = timeit(lambda x, y: chain(x, y, R_HI), a, b, reps=5)
+        net = (t_hi - t_lo) / (R_HI - R_LO)
+        entry = {f"chain{R_LO}_ms": t_lo * 1e3, f"chain{R_HI}_ms": t_hi * 1e3}
         if net > 0:
             entry.update({"ms": net * 1e3, "Madds_per_s": n / net / 1e6})
             print(f"point_add n={n}: {net*1e3:.2f} ms -> {n/net/1e6:.1f} M adds/s")
         else:
             entry.update({"ms": None, "Madds_per_s": None,
                           "note": "net <= 0: dispatch noise exceeded kernel time"})
-            print(f"point_add n={n}: below dispatch-noise floor (t1={t1*1e3:.2f}ms t5={t5*1e3:.2f}ms)")
+            print(f"point_add n={n}: below dispatch-noise floor "
+                  f"(t_lo={t_lo*1e3:.2f}ms t_hi={t_hi*1e3:.2f}ms)")
         RESULTS[f"point_add_n{n}"] = entry
 
 
