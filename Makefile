@@ -26,6 +26,16 @@ bench: native
 bench-suite: native
 	python benches/run_benches.py
 
+# Regenerate every derived benchmark artifact, then validate (fails on
+# impossible values: negative kernel times, >100% efficiency).  The chip
+# profile phases only run when the TPU tunnel is healthy; otherwise the
+# committed kernel_profile.json is validated as-is.
+artifacts: native
+	python benches/run_benches.py
+	-bash benches/tpu_capture.sh
+	python benches/scaling_bench.py
+	python benches/check_artifacts.py
+
 clean:
 	$(MAKE) -C native clean
 	rm -rf .jax_cache .pytest_cache

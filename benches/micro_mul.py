@@ -128,5 +128,10 @@ if __name__ == "__main__":
     bench_vpu("f32 mul", lambda a, b: a * b, jnp.float32)
     bench_vpu("f32 fma(a*b+a)", lambda a, b: a * b + a, jnp.float32)
     bench_vpu("int32 mul16(masked)", lambda a, b: (a & 0xFFFF) * (b & 0xFFFF), jnp.int32)
+    # Candidates for the lazy path (SN limbs can be slightly negative, so a
+    # 0xFFFF mask corrupts them; a sign-extending 16-bit pattern would not):
+    bench_vpu("int32 mul16(sext)",
+              lambda a, b: ((a << 16) >> 16) * ((b << 16) >> 16), jnp.int32)
+    bench_vpu("int32 mul16(one-side)", lambda a, b: (a & 0xFFFF) * b, jnp.int32)
     bench_mxu()
     bench_int8_mxu()

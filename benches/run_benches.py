@@ -202,11 +202,33 @@ def bench_rangeproof(reps):
             t = HashChainTranscript(b"bench-rp-agg")
             proof.verify_multiple(gens, PC, t, comms, 64)
 
-        dt = timeit(verify, reps)
-        record(
-            "rangeproof-verify", f"n=64 m={m}", dt,
-            {"us_per_proof": round(dt / m * 1e6, 1)},
-        )
+        if m == 1:
+            # The BASELINE headline verify metric (1,040 us AVX2 dalek,
+            # README.md:76): record min AND median over >= 20 runs so the
+            # claim holds at the typical case, not only best-case
+            # (VERDICT r3 ask #5).
+            times = []
+            for _ in range(max(20, reps)):
+                t = HashChainTranscript(b"bench-rp-agg")
+                t0 = time.perf_counter()
+                proof.verify_multiple(gens, PC, t, comms, 64)
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            dt = times[0]
+            med = times[len(times) // 2]
+            record(
+                "rangeproof-verify", f"n=64 m={m}", dt,
+                {"us_per_proof": round(dt / m * 1e6, 1),
+                 "median_ms": round(med * 1e3, 3),
+                 "median_us_per_proof": round(med / m * 1e6, 1),
+                 "runs": len(times)},
+            )
+        else:
+            dt = timeit(verify, reps)
+            record(
+                "rangeproof-verify", f"n=64 m={m}", dt,
+                {"us_per_proof": round(dt / m * 1e6, 1)},
+            )
 
 
 def bench_mpc(reps):
@@ -309,6 +331,19 @@ def bench_mpc(reps):
 
     record("mpc-r1cs-prove", "shuffle k=256, 2 parties",
            timeit(shuffle_round, max(1, reps // 3)))
+
+    # Device data plane (VERDICT r3 ask #8): the same collaborative shuffle
+    # with the shared-phase MSMs (fabric.shared_msm -> dispatch_msm) routed
+    # to the TPU.  Opt-in (BENCH_MPC_DEVICE=1): needs the live chip, which
+    # the host suite must not touch by default (single-tenant tunnel).
+    if os.environ.get("BENCH_MPC_DEVICE") == "1":
+        os.environ["BP_FORCE_BACKEND"] = "device"
+        try:
+            record("mpc-r1cs-prove", "shuffle k=256, 2 parties, device plane",
+                   timeit(shuffle_round, max(1, reps // 3)))
+        finally:
+            os.environ["BP_FORCE_BACKEND"] = "host"
+
     s_proof, s_comms = shuffle_round()
 
     def shuffle_verify():

@@ -572,13 +572,21 @@ def _fused_ipp_fn(n: int):
 
     import jax
 
+    from ..ops import packio
+
     run = fused_ipp_body(n)
-    fn = jax.jit(run)
+
+    def run_packed(*args):
+        # one flat int32 output -> one tunnel fetch (ops/packio.py)
+        out = run(*args)
+        return packio.pack_device(list(out))
+
+    fn = jax.jit(run_packed)
     _FUSED_IPP_CACHE[n] = fn
     return fn
 
 
-def fused_ipp_body(n: int, shard=None):
+def fused_ipp_body(n: int, shard=None, table_gens: bool = False):
     """The traceable fused-IPP program for size ``n`` (unjitted).
 
     Returned callable: ``run(state32, a_d, b_d, wG, wH, pts_d) ->
@@ -592,6 +600,15 @@ def fused_ipp_body(n: int, shard=None):
     the round's only collective.  The cheap O(n) vector work (coefficient
     updates, folds, transcript) is replicated on every device, which costs
     no communication and keeps the hash chain in lockstep.
+
+    ``table_gens=True`` switches the round MSMs to 64-bit scalar chunks
+    against a cached packed split table of ``[G | H | B]`` (built once per
+    gens — ``ops/msm.build_split_affine_table``); the caller must have
+    ``Q = w * B`` and passes ``run(state32, a_d, b_d, wG, wH, table,
+    q_scale=w)`` — the Q-term rides base B with scalar ``c_L * w``.  This
+    shrinks each round's serial Horner combine from ~252+nw to ~72 grid
+    steps and replaces the MXU permutation reorder with the measured
+    fast-path 16-word record gather.
     """
     import jax
     import jax.numpy as jnp
@@ -607,41 +624,78 @@ def fused_ipp_body(n: int, shard=None):
 
     NLc = limb.NL
     nh = n // 2
+    lanes4 = msm_mod.SPLIT_CHUNKS * (n + 1)
     if shard is None:
-        c = msm_mod.select_window(n + 1)
+        if table_gens:
+            c = msm_mod.select_window(lanes4, msm_mod.SPLIT_CHUNK_BITS)
 
-        def pair_msm(sL, pL, sR, pR):
-            return msm_mod._msm_batched_pair_impl(sL, pL, sR, pR, c)
+            def pair_msm_table(s4L, recL, s4R, recR, table):
+                return msm_mod._msm_multi_table_impl(
+                    [(s4L, recL), (s4R, recR)], table, c
+                )
+        else:
+            c = msm_mod.select_window(n + 1)
+
+            def pair_msm(sL, pL, sR, pR):
+                return msm_mod._msm_batched_pair_impl(sL, pL, sR, pR, c)
     else:
         ax, ndev = shard
-        ck = -(-(n + 1) // ndev)
-        c = msm_mod.select_window(ck)
+        if table_gens:
+            ck = -(-lanes4 // ndev)
+            c = msm_mod.select_window(ck, msm_mod.SPLIT_CHUNK_BITS)
 
-        def pair_msm(sL, pL, sR, pR):
-            (sL, pL), (sR, pR) = shard_pad_msm(sL, pL, ck * ndev), shard_pad_msm(sR, pR, ck * ndev)
-            d = jax.lax.axis_index(ax)
-            sl = jax.lax.dynamic_slice_in_dim(sL, d * ck, ck, axis=-1)
-            pl = jax.lax.dynamic_slice_in_dim(pL, d * ck, ck, axis=-1)
-            sr = jax.lax.dynamic_slice_in_dim(sR, d * ck, ck, axis=-1)
-            pr = jax.lax.dynamic_slice_in_dim(pR, d * ck, ck, axis=-1)
-            part = msm_mod._msm_batched_pair_impl(sl, pl, sr, pr, c)  # (3, NLZ, 2)
-            gathered = jax.lax.all_gather(part, ax)  # (ndev, 3, NLZ, 2)
-            pairs = jnp.moveaxis(gathered, 0, -1)  # (3, NLZ, 2, ndev)
-            L_tot = msm_mod._reduce_sum_tree(pairs[:, :, 0])
-            R_tot = msm_mod._reduce_sum_tree(pairs[:, :, 1])
-            return jnp.concatenate([L_tot, R_tot], axis=-1)
+            def pair_msm_table(s4L, recL, s4R, recR, table):
+                pad = ck * ndev - lanes4
+                if pad:
+                    s4L = jnp.pad(s4L, [(0, 0), (0, pad)])
+                    s4R = jnp.pad(s4R, [(0, 0), (0, pad)])
+                    recL = jnp.pad(recL, [(0, pad)])
+                    recR = jnp.pad(recR, [(0, pad)])
+                d = jax.lax.axis_index(ax)
+                sl = jax.lax.dynamic_slice_in_dim(s4L, d * ck, ck, axis=-1)
+                rl = jax.lax.dynamic_slice_in_dim(recL, d * ck, ck, axis=-1)
+                sr = jax.lax.dynamic_slice_in_dim(s4R, d * ck, ck, axis=-1)
+                rr = jax.lax.dynamic_slice_in_dim(recR, d * ck, ck, axis=-1)
+                part = msm_mod._msm_multi_table_impl(
+                    [(sl, rl), (sr, rr)], table, c
+                )  # (3, NLZ, 2)
+                gathered = jax.lax.all_gather(part, ax)
+                pairs = jnp.moveaxis(gathered, 0, -1)
+                L_tot = msm_mod._reduce_sum_tree(pairs[:, :, 0])
+                R_tot = msm_mod._reduce_sum_tree(pairs[:, :, 1])
+                return jnp.concatenate([L_tot, R_tot], axis=-1)
+        else:
+            ck = -(-(n + 1) // ndev)
+            c = msm_mod.select_window(ck)
+
+            def pair_msm(sL, pL, sR, pR):
+                (sL, pL), (sR, pR) = shard_pad_msm(sL, pL, ck * ndev), shard_pad_msm(sR, pR, ck * ndev)
+                d = jax.lax.axis_index(ax)
+                sl = jax.lax.dynamic_slice_in_dim(sL, d * ck, ck, axis=-1)
+                pl = jax.lax.dynamic_slice_in_dim(pL, d * ck, ck, axis=-1)
+                sr = jax.lax.dynamic_slice_in_dim(sR, d * ck, ck, axis=-1)
+                pr = jax.lax.dynamic_slice_in_dim(pR, d * ck, ck, axis=-1)
+                part = msm_mod._msm_batched_pair_impl(sl, pl, sr, pr, c)  # (3, NLZ, 2)
+                gathered = jax.lax.all_gather(part, ax)  # (ndev, 3, NLZ, 2)
+                pairs = jnp.moveaxis(gathered, 0, -1)  # (3, NLZ, 2, ndev)
+                L_tot = msm_mod._reduce_sum_tree(pairs[:, :, 0])
+                R_tot = msm_mod._reduce_sum_tree(pairs[:, :, 1])
+                return jnp.concatenate([L_tot, R_tot], axis=-1)
 
     idxL_all, idxR_all = [], []
     cur = n
     while cur > 1:
         iL, iR = _ipp_round_indices(n, cur)
+        if table_gens:
+            iL = msm_mod.split_record_indices(iL, 2 * n + 1)
+            iR = msm_mod.split_record_indices(iR, 2 * n + 1)
         idxL_all.append(iL.astype(np.int32))
         idxR_all.append(iR.astype(np.int32))
         cur //= 2
     idxL_rounds = np.stack(idxL_all)
     idxR_rounds = np.stack(idxR_all)
 
-    def run(state32, a_d, b_d, wG, wH, pts_d):
+    def run(state32, a_d, b_d, wG, wH, pts_d, q_scale=None):
         def body(carry, xs):
             state, a_d, b_d, wG, wH, cur = carry
             idxL, idxR = xs
@@ -666,12 +720,24 @@ def fused_ipp_body(n: int, shard=None):
             w_hiH = jnp.where(hi[None], wH, wG)
             sL = limb._mod_mul(w_hiG, jnp.where(hi[None], aL_of, bR_of), limb.FR)
             sR = limb._mod_mul(w_hiH, jnp.where(hi[None], bL_of, aR_of), limb.FR)
-            sL = jnp.concatenate([sL, c_L], axis=-1)
-            sR = jnp.concatenate([sR, c_R], axis=-1)
+            if table_gens:
+                # Q = q_scale * B: the Q term rides base B with c * q_scale
+                cq_L = limb._mod_mul(c_L, q_scale, limb.FR)
+                cq_R = limb._mod_mul(c_R, q_scale, limb.FR)
+                s4L = msm_mod.split_scalars_device(
+                    jnp.concatenate([sL, cq_L], axis=-1)
+                )
+                s4R = msm_mod.split_scalars_device(
+                    jnp.concatenate([sR, cq_R], axis=-1)
+                )
+                LR = pair_msm_table(s4L, idxL, s4R, idxR, pts_d)
+            else:
+                sL = jnp.concatenate([sL, c_L], axis=-1)
+                sR = jnp.concatenate([sR, c_R], axis=-1)
 
-            # L and R as ONE merged program: shared bucket phase, one
-            # Horner chain with both outputs on the lane axis
-            LR = pair_msm(sL, pts_d[:, :, idxL], sR, pts_d[:, :, idxR])
+                # L and R as ONE merged program: shared bucket phase, one
+                # Horner chain with both outputs on the lane axis
+                LR = pair_msm(sL, pts_d[:, :, idxL], sR, pts_d[:, :, idxR])
 
             x, y, iid = tj.lazy_points_to_affine(LR)
             enc = tj.points_transcript_bytes(x, y, iid)  # (64, 2)
@@ -730,12 +796,18 @@ def _create_device_fused(transcript, Q, G_factors, H_factors, G, H, a, b):
         )
     )
 
-    state32, a_fin, b_fin, xs, ys, iids = fn(state32, a_d, b_d, wG, wH, pts_d)
+    out = fn(state32, a_d, b_d, wG, wH, pts_d)
 
     # one transfer for everything; synchronize the host transcript state
-    state_b = bytes(int(v) for v in np.asarray(state32))
-    transcript.state = state_b
-    xs_np, ys_np, iids_np = np.asarray(xs), np.asarray(ys), np.asarray(iids)
+    from ..ops import packio
+    from ..ops.limb import NL
+
+    rounds = (n - 1).bit_length()
+    shapes = [(32,), (NL,), (NL,), (rounds, NL, 2), (rounds, NL, 2), (rounds, 2)]
+    state_np, a_fin, b_fin, xs_np, ys_np, iids_np = packio.unpack_np(
+        np.asarray(out), shapes
+    )
+    transcript.state = bytes(int(v) for v in state_np)
     L_vec, R_vec = [], []
     for rnd in range(xs_np.shape[0]):
         xv = limb.limbs_to_ints(xs_np[rnd])
@@ -745,6 +817,6 @@ def _create_device_fused(transcript, Q, G_factors, H_factors, G, H, a, b):
                 vec.append(StarkPoint.identity())
             else:
                 vec.append(StarkPoint(int(xv[k]), int(yv[k])))
-    a_sc = cj.scalars_to_host(np.asarray(a_fin)[:, None])[0]
-    b_sc = cj.scalars_to_host(np.asarray(b_fin)[:, None])[0]
+    a_sc = cj.scalars_to_host(a_fin[:, None])[0]
+    b_sc = cj.scalars_to_host(b_fin[:, None])[0]
     return InnerProductProof(L_vec, R_vec, a_sc, b_sc)

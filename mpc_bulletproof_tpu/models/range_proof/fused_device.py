@@ -64,6 +64,27 @@ def _device_gens(bp_gens: BulletproofGens, n: int, m: int):
     return per[key]
 
 
+def _device_split_table(bp_gens: BulletproofGens, pc_gens: PedersenGens, n: int, m: int):
+    """Packed affine split-table records of ``[G(nm) | H(nm) | B]`` —
+    ``(4*(2nm+1), 16)`` int32 (ops/msm.build_split_affine_table).  Built on
+    device once per (gens, n, m): 192 sequential doublings + one batched
+    Fermat inversion; cached like the generator arrays."""
+    per = _gens_entry(bp_gens)
+    key = ("split", n, m, id(pc_gens))
+    if key not in per:
+        import jax
+        import jax.numpy as jnp
+
+        from ...ops import curve_jax as cj
+        from ...ops import msm as msm_mod
+
+        G = [g for j in range(m) for g in bp_gens.share(j).G(n)]
+        H = [h for j in range(m) for h in bp_gens.share(j).H(n)]
+        pts = jnp.asarray(cj.points_from_host(G + H + [pc_gens.B]))
+        per[key] = jax.jit(msm_mod.build_split_affine_table)(pts)
+    return per[key]
+
+
 def _device_pc(pc_gens: PedersenGens):
     per = _gens_entry(pc_gens)
     if "pc" not in per:
@@ -114,12 +135,23 @@ def _program(n: int, m: int, mesh=None, axis: str = "dp"):
     NL = limb.NL
     nm = n * m
     ndev = mesh.devices.size if mesh is not None else 1
-    ipp_run = fused_ipp_body(nm, shard=(axis, ndev) if mesh is not None else None)
-    c_big = msm_mod.select_window(2 * nm if mesh is None else -(-2 * nm // ndev))
+    ipp_run = fused_ipp_body(
+        nm, shard=(axis, ndev) if mesh is not None else None, table_gens=True
+    )
+    # S commitment MSM: 64-bit chunks against the cached split table
+    # (lane -> record map is static: [G | H] blocks, base B unused here).
+    lanes_S = msm_mod.SPLIT_CHUNKS * 2 * nm
+    rec_S = np.asarray(
+        msm_mod.split_record_indices(
+            np.arange(2 * nm, dtype=np.int32), 2 * nm + 1
+        )
+    )
 
     if mesh is None:
-        def big_msm(s, p):
-            return msm_mod._msm_device_impl(s, p, c_big, affine=True)
+        c_S = msm_mod.select_window(lanes_S, msm_mod.SPLIT_CHUNK_BITS)
+
+        def s_msm(s4, rec, table):
+            return msm_mod._msm_multi_table_impl([(s4, rec)], table, c_S)[..., 0]
 
         def big_point_sum(pts):
             return msm_mod._reduce_sum(pts)
@@ -127,8 +159,22 @@ def _program(n: int, m: int, mesh=None, axis: str = "dp"):
         def big_inner(a, b):
             return limb._inner_product_mod(a, b, limb.FR)[:, None]
     else:
-        def big_msm(s, p):
-            return sh.insh_msm(s, p, ndev, axis, affine=True)
+        ck_S = -(-lanes_S // ndev)
+        c_S = msm_mod.select_window(ck_S, msm_mod.SPLIT_CHUNK_BITS)
+
+        def s_msm(s4, rec, table):
+            import jax as _jax
+
+            pad = ck_S * ndev - lanes_S
+            if pad:
+                s4 = jnp.pad(s4, [(0, 0), (0, pad)])
+                rec = jnp.pad(rec, [(0, pad)])
+            d = _jax.lax.axis_index(axis)
+            sl = _jax.lax.dynamic_slice_in_dim(s4, d * ck_S, ck_S, axis=-1)
+            rl = _jax.lax.dynamic_slice_in_dim(rec, d * ck_S, ck_S, axis=-1)
+            part = msm_mod._msm_multi_table_impl([(sl, rl)], table, c_S)[..., 0]
+            gathered = _jax.lax.all_gather(part, axis)  # (ndev, 3, NLZ)
+            return msm_mod._reduce_sum_tree(jnp.moveaxis(gathered, 0, -1))[..., 0]
 
         def big_point_sum(pts):
             return sh.insh_point_sum(pts, ndev, axis)
@@ -155,7 +201,7 @@ def _program(n: int, m: int, mesh=None, axis: str = "dp"):
     FB_STRIDE = msm_mod.FB_WINDOWS * msm_mod.FB_TABLE  # B~ rows offset
 
     def run(state32, bits, v_limbs, gamma, alpha_sum, rho_sum, sL, sR,
-            t1b_sum, t2b_sum, G_pts, H_pts, B_pt, Bb_pt, fb_table):
+            t1b_sum, t2b_sum, G_pts, H_pts, B_pt, Bb_pt, fb_table, split_table):
         FR = limb.FR
         bits_b = bits != 0
 
@@ -182,12 +228,10 @@ def _program(n: int, m: int, mesh=None, axis: str = "dp"):
             A_blind,
         )
 
-        # S = <s_L, G> + <s_R, H> + rho_sum B~  (G/H are points_from_host
-        # generators, hence affine)
-        S_msm = big_msm(
-            jnp.concatenate([sL, sR], axis=-1),
-            jnp.concatenate([G_pts, H_pts], axis=-1),
-        )
+        # S = <s_L, G> + <s_R, H> + rho_sum B~  (64-bit chunks against the
+        # cached split table — serial combine ~72 vs ~280 grid steps)
+        s4_S = msm_mod.split_scalars_device(jnp.concatenate([sL, sR], axis=-1))
+        S_msm = s_msm(s4_S, jnp.asarray(rec_S), split_table)
         S_pt = cj._point_add(S_msm[..., None], S_blind)
 
         state32, (Vx, Vy, Vid) = absorb_points(state32, [b"V"] * m, V_pts)
@@ -253,10 +297,8 @@ def _program(n: int, m: int, mesh=None, axis: str = "dp"):
         state32 = absorb_scalar(state32, b"t_x_blinding", t_x_blinding)
         state32 = absorb_scalar(state32, b"e_blinding", e_blinding)
         state32, w_ch = tj.challenge_scalar(state32, b"w")
-
-        # Q = w B (1-lane table eval; right term is 0 * B = identity)
-        off1 = jnp.zeros((1,), jnp.int32)
-        Q_pt = msm_mod.fixed_commit(fb_table, off1, w_ch, off1, zeros)
+        # Q = w B never materializes: the IPP's Q term rides base B in the
+        # split table with scalar c * w (fused_ipp_body table_gens mode).
 
         # ---- the IPP over l(x), r(x) ------------------------------------
         l_vec = limb._mod_add(l0, limb._mod_mul(x_ch, l1, FR), FR)
@@ -277,17 +319,20 @@ def _program(n: int, m: int, mesh=None, axis: str = "dp"):
             8,
         )
 
-        ipp_pts = jnp.concatenate([G_pts, H_pts, Q_pt], axis=-1)
         state32, a_fin, b_fin, Lx, Ly, Lid = ipp_run(
-            state32, l_vec, r_vec, wG, wH, ipp_pts
+            state32, l_vec, r_vec, wG, wH, split_table, w_ch
         )
 
-        return (
+        # ONE flat int32 output: readback is a single tunnel fetch instead
+        # of ~16 (each ~25-40 ms of latency — ops/packio.py).
+        from ...ops import packio
+
+        return packio.pack_device([
             state32,
-            (Vx, Vy, Vid), (ASx, ASy, ASid), (Tx, Ty, Tid),
+            Vx, Vy, Vid, ASx, ASy, ASid, Tx, Ty, Tid,
             t_x, t_x_blinding, e_blinding,
             a_fin, b_fin, Lx, Ly, Lid,
-        )
+        ])
 
     def bits_limbs(b):
         """(nm,) 0/1 int32 -> (NL, nm) limb rows."""
@@ -314,7 +359,7 @@ def _program(n: int, m: int, mesh=None, axis: str = "dp"):
             shard_map(
                 run,
                 mesh=mesh,
-                in_specs=(P(),) * 15,
+                in_specs=(P(),) * 16,
                 out_specs=P(),
                 check_rep=False,
             )
@@ -352,10 +397,20 @@ def prove_multiple_device(
     from ...ops import limb
     from . import RangeProof
 
-    if rng_bytes is None:
-        rng_bytes = secrets.token_bytes
     m = len(values)
     nm = n * m
+    if rng_bytes is None:
+        # One bulk draw for the whole blinding stream (2m + 2nm + 2m draws
+        # of 48 bytes): per-call token_bytes cost ~14 ms at m=64.  Injected
+        # streams keep per-draw calls — tests replay party.py's exact order.
+        buf = secrets.token_bytes(48 * (4 * m + 2 * nm))
+        state = {"off": 0}
+
+        def rng_bytes(k: int) -> bytes:
+            o = state["off"]
+            state["off"] = o + k
+            return buf[o : o + k]
+
     # dealer entry (validates sizes + rangeproof_domain_sep)
     from .dealer import Dealer
 
@@ -382,6 +437,7 @@ def prove_multiple_device(
 
     G_dev, H_dev = _device_gens(bp_gens, n, m)
     B_dev, Bb_dev, fb_table = _device_pc(pc_gens)
+    split_table = _device_split_table(bp_gens, pc_gens, n, m)
 
     fn = _program(n, m, mesh=mesh)
     sum_s = lambda xs: Scalar(sum(int(x) for x in xs))
@@ -402,13 +458,30 @@ def prove_multiple_device(
         B_dev,
         Bb_dev,
         fb_table,
+        split_table,
     )
-    (state32, Vt, ASt, Tt, t_x, t_xb, e_b, a_fin, b_fin, Lx, Ly, Lid) = out
 
-    transcript.state = bytes(int(v) for v in np.asarray(state32))
+    from ...ops import packio
+    from ...ops.limb import NL
 
-    def pts_of(tup):
-        x, y, iid = (np.asarray(t) for t in tup)
+    rounds = (nm - 1).bit_length()
+    shapes = [
+        (32,),
+        (NL, m), (NL, m), (m,),          # V
+        (NL, 2), (NL, 2), (2,),          # A, S
+        (NL, 2), (NL, 2), (2,),          # T_1, T_2
+        (NL, 1), (NL, 1), (NL, 1),       # t_x, t_x_blinding, e_blinding
+        (NL,), (NL,),                    # a, b
+        (rounds, NL, 2), (rounds, NL, 2), (rounds, 2),  # L/R per round
+    ]
+    (state_np, Vx, Vy, Vid, ASx, ASy, ASid, Tx, Ty, Tid,
+     t_x, t_xb, e_b, a_fin, b_fin, Lx_np, Ly_np, Lid_np) = packio.unpack_np(
+        np.asarray(out), shapes
+    )
+
+    transcript.state = bytes(int(v) for v in state_np)
+
+    def pts_of(x, y, iid):
         xs = limb.limbs_to_ints(x)
         ys = limb.limbs_to_ints(y)
         return [
@@ -416,13 +489,12 @@ def prove_multiple_device(
             for k in range(len(xs))
         ]
 
-    V_list = pts_of(Vt)
-    A_pt, S_pt = pts_of(ASt)
-    T1_pt, T2_pt = pts_of(Tt)
-    sc = lambda col: cj.scalars_to_host(np.asarray(col))[0]
+    V_list = pts_of(Vx, Vy, Vid)
+    A_pt, S_pt = pts_of(ASx, ASy, ASid)
+    T1_pt, T2_pt = pts_of(Tx, Ty, Tid)
+    sc = lambda col: cj.scalars_to_host(col)[0]
 
     L_vec, R_vec = [], []
-    Lx_np, Ly_np, Lid_np = np.asarray(Lx), np.asarray(Ly), np.asarray(Lid)
     for rnd in range(Lx_np.shape[0]):
         xv = limb.limbs_to_ints(Lx_np[rnd])
         yv = limb.limbs_to_ints(Ly_np[rnd])
@@ -434,8 +506,8 @@ def prove_multiple_device(
 
     ipp = InnerProductProof(
         L_vec, R_vec,
-        cj.scalars_to_host(np.asarray(a_fin)[:, None])[0],
-        cj.scalars_to_host(np.asarray(b_fin)[:, None])[0],
+        cj.scalars_to_host(a_fin[:, None])[0],
+        cj.scalars_to_host(b_fin[:, None])[0],
     )
     proof = RangeProof(
         A=A_pt, S=S_pt, T_1=T1_pt, T_2=T2_pt,

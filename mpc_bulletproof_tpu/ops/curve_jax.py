@@ -196,6 +196,45 @@ def points_from_host(points) -> np.ndarray:
     )
 
 
+def _to_affine_mont(pts: jnp.ndarray) -> jnp.ndarray:
+    """``(3, NLZ, k)`` lazy Montgomery projective -> affine-or-identity points
+    with canonical Montgomery coords and ``z in {0, mont_one}`` — the
+    :func:`points_from_host` invariant, so the result can feed the packed
+    affine gather tables (``ops/msm._rows_affine_table``).
+
+    One batched Fermat inversion (``kernels.mod_pow_static``, a single
+    in-kernel ladder).  Montgomery bookkeeping (all multiplies below are
+    PLAIN modular products, not Montgomery products): coords are ``x R``;
+    the inverse of ``z R`` is ``z^-1 R^-1``, so one extra multiply by the
+    constant ``R`` (folded into zinv) lands ``(x R)(z^-1 R^-1)(R) =
+    x z^-1 R`` — Montgomery-form affine.
+    """
+    from .limb import _lazy_to_canonical, _mod_mul, from_const
+
+    k = pts.shape[-1]
+    xc = _lazy_to_canonical(pts[0], FP)
+    yc = _lazy_to_canonical(pts[1], FP)
+    zc = _lazy_to_canonical(pts[2], FP)
+    is_id = jnp.all(zc == 0, axis=0)  # (k,)
+    z_safe = jnp.where(is_id[None], from_const(1, (k,)), zc)
+    from . import kernels  # local import: kernels imports this module
+
+    zinv = kernels.mod_pow_static(z_safe, P - 2, FP)          # z^-1 R^-1
+    r1 = from_const(FP.mont_r, (1,))
+    zinv = _mod_mul(zinv, r1, FP)                             # z^-1
+    x_aff = _mod_mul(xc, zinv, FP)
+    y_aff = _mod_mul(yc, zinv, FP)
+    one_c = from_const(FP.mont_r, (k,))
+    nz = (~is_id)[None]
+    x_out = jnp.where(nz, x_aff, 0)
+    y_out = jnp.where(nz, y_aff, one_c)
+    z_out = jnp.where(nz, one_c, 0)
+    pad = [(0, NLZ - NL), (0, 0)]
+    return jnp.stack(
+        [jnp.pad(x_out, pad), jnp.pad(y_out, pad), jnp.pad(z_out, pad)], axis=0
+    )
+
+
 def points_to_host(arr) -> list:
     """``(3, NLZ, ...)`` projective limb array -> list of host ``StarkPoint``.
 

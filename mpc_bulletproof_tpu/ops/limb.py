@@ -269,6 +269,27 @@ def carry_prop(x: jnp.ndarray, out_len: int, sweeps: int = 2) -> jnp.ndarray:
 # convolution (schoolbook polynomial product, unrolled)
 # ---------------------------------------------------------------------------
 
+def _mul16u(a, b):
+    """Limb product via the VPU's native 16x16->32 multiply.
+
+    The masks are semantic no-ops when both operands are already in
+    [0, 2^16), but they let Mosaic prove the operands are 16-bit and emit
+    the single-pass multiply — measured 829 vs 389 Gops/s for plain int32
+    multiply on v5e (OPTIMIZATIONS.md round-3 table, benches/micro_mul.py).
+    MUST NOT be used with possibly-negative operands: the mask corrupts
+    them (use :func:`_mul16s` for the SN-limb path).
+    """
+    return (a & 0xFFFF) * (b & 0xFFFF)
+
+
+def _mul16s(a, b):
+    """Signed 16-bit limb product: sign-extending shifts are semantic
+    no-ops for operands in [-2^15, 2^15) — SN limbs qualify (within ~22 of
+    [0, 2^13]) — and mark the operands 16-bit for the same fast multiply
+    as :func:`_mul16u` (benches/micro_mul.py ``mul16(sext)``)."""
+    return ((a << 16) >> 16) * ((b << 16) >> 16)
+
+
 def _broadcast_batch(a: jnp.ndarray, b: jnp.ndarray):
     """Broadcast both operands to a common batch shape up front.
 
@@ -284,31 +305,36 @@ def _broadcast_batch(a: jnp.ndarray, b: jnp.ndarray):
     return a, b
 
 
-def conv_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def conv_full(a: jnp.ndarray, b: jnp.ndarray, nn: bool = False) -> jnp.ndarray:
     """Product of limb vectors; output unnormalized, length ``la + lb - 1``.
 
     Shift-and-add formulation (pad + add, no scatter) so the same body
     lowers both through XLA and through Mosaic inside Pallas kernels.
+    ``nn=True`` asserts both operands are nonnegative (< 2^16) — canonical
+    limbs qualify — and routes the products through the 2.1x-faster 16-bit
+    VPU multiply (:func:`_mul16u`).
     """
+    mul = _mul16u if nn else (lambda x, y: x * y)
     a, b = _broadcast_batch(a, b)
     na, nb = a.shape[0], b.shape[0]
     out_len = na + nb - 1
     out = None
     for i in range(na):
-        prod = a[i][None] * b  # (nb, batch)
+        prod = mul(a[i][None], b)  # (nb, batch)
         pad = [(i, out_len - nb - i)] + [(0, 0)] * (prod.ndim - 1)
         shifted = jnp.pad(prod, pad)
         out = shifted if out is None else out + shifted
     return out
 
 
-def conv_low(a: jnp.ndarray, b: jnp.ndarray, keep: int) -> jnp.ndarray:
+def conv_low(a: jnp.ndarray, b: jnp.ndarray, keep: int, nn: bool = False) -> jnp.ndarray:
     """Truncated product: only the low ``keep`` output rows."""
+    mul = _mul16u if nn else (lambda x, y: x * y)
     a, b = _broadcast_batch(a, b)
     out = None
     for i in range(min(a.shape[0], keep)):
         width = min(b.shape[0], keep - i)
-        prod = a[i][None] * b[:width]
+        prod = mul(a[i][None], b[:width])
         pad = [(i, keep - width - i)] + [(0, 0)] * (prod.ndim - 1)
         shifted = jnp.pad(prod, pad)
         out = shifted if out is None else out + shifted
@@ -357,10 +383,10 @@ def _barrett_reduce(c_wide: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
     m21 = jnp.asarray(mp.m21)
     mu = jnp.asarray(mp.mu)
     q1 = c_wide[NL - 1 :]  # floor(c / beta^(NL-1)): NL+1 limbs
-    q2 = carry_prop(conv_full(q1, mu), 2 * NL + 2)
+    q2 = carry_prop(conv_full(q1, mu, nn=True), 2 * NL + 2)
     q3 = q2[NL + 1 :]  # floor(q2 / beta^(NL+1)): NL+1 limbs
     r1 = c_wide[: NL + 1]
-    r2 = carry_prop(conv_low(q3, jnp.asarray(mp.m), NL + 1), NL + 1)
+    r2 = carry_prop(conv_low(q3, jnp.asarray(mp.m), NL + 1, nn=True), NL + 1)
     r = carry_prop(r1 - r2, NL + 1, sweeps=0)  # mod beta^(NL+1)
     r = _cond_sub(r, m21)
     r = _cond_sub(r, m21)
@@ -368,8 +394,12 @@ def _barrett_reduce(c_wide: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
 
 
 def _mod_mul(a: jnp.ndarray, b: jnp.ndarray, mp: ModParams) -> jnp.ndarray:
-    """Batched modular multiplication ``(a * b) mod m``."""
-    wide = carry_prop(conv_full(a, b), WIDE)
+    """Batched modular multiplication ``(a * b) mod m``.
+
+    Inputs must be normalized canonical limbs (every caller's contract —
+    also the precondition for the int32 convolution and Barrett), which
+    makes the 16-bit multiply fast path valid."""
+    wide = carry_prop(conv_full(a, b, nn=True), WIDE)
     return _barrett_reduce(wide, mp)
 
 
@@ -440,7 +470,7 @@ def _inner_product_mod(a: jnp.ndarray, b: jnp.ndarray, mp: ModParams) -> jnp.nda
     lanes, then Barrett-reduced.
     """
     n = a.shape[-1]
-    prods = carry_prop(conv_full(a, b), WIDE)  # (WIDE, n), limbs < 2^13
+    prods = carry_prop(conv_full(a, b, nn=True), WIDE)  # (WIDE, n), limbs < 2^13
     if n <= _ACC_CHUNK:
         acc = jnp.sum(prods, axis=-1, keepdims=True)
         return _barrett_reduce(carry_prop(acc, WIDE), mp)[..., 0]
@@ -606,20 +636,21 @@ def _redc(wide: jnp.ndarray, ctx) -> jnp.ndarray:
         carry = jnp.zeros_like(rows[0])
         for i in range(NLZ):
             c_i = rows[i] + carry
-            u = ((c_i & MASK) * mp_int) & MASK
-            carry = (c_i + u * mr[0]) >> BASE_BITS
+            # u and the m rows are nonnegative < 2^13: 16-bit multiplies
+            u = _mul16u(c_i & MASK, mp_int) & MASK
+            carry = (c_i + _mul16u(u, mr[0])) >> BASE_BITS
             for k in range(1, NL):
-                rows[i + k] = rows[i + k] + u * mr[k]
+                rows[i + k] = rows[i + k] + _mul16u(u, mr[k])
         rows[NLZ] = rows[NLZ] + carry
         res = jnp.stack(rows[NLZ:], axis=0)
         return _sn_sweeps(res, NLZ, 2)
     carry = jnp.zeros_like(w[0])
     for i in range(NLZ):
         c_i = w[i] + carry
-        u = ((c_i & MASK) * mp_int) & MASK
-        carry = (c_i + u * m_rows[0]) >> BASE_BITS
+        u = _mul16u(c_i & MASK, mp_int) & MASK
+        carry = (c_i + _mul16u(u, m_rows[0])) >> BASE_BITS
         w = jnp.concatenate(
-            [w[: i + 1], w[i + 1 : i + NL] + u[None] * m_rows[1:], w[i + NL :]],
+            [w[: i + 1], w[i + 1 : i + NL] + _mul16u(u[None], m_rows[1:]), w[i + NL :]],
             axis=0,
         )
     res = jnp.concatenate([(w[NLZ] + carry)[None], w[NLZ + 1 :]], axis=0)
@@ -637,7 +668,15 @@ def lazy_mul(a: jnp.ndarray, b: jnp.ndarray, ctx) -> jnp.ndarray:
     # 2 sweeps leave limbs within ~22 of [0, BASE) — safe for both the
     # next convolution (column sums stay < 2^31) and REDC's congruence-
     # based u extraction; the exact-SN third sweep is never needed here.
-    wide = _sn_sweeps(conv_full(a, b), 2 * NLZ - 1, 2)
+    na, nb = a.shape[0], b.shape[0]
+    out_len = na + nb - 1
+    out = None
+    for i in range(na):
+        prod = _mul16s(a[i][None], b)  # SN operands: signed 16-bit multiply
+        pad = [(i, out_len - nb - i)] + [(0, 0)] * (prod.ndim - 1)
+        shifted = jnp.pad(prod, pad)
+        out = shifted if out is None else out + shifted
+    wide = _sn_sweeps(out, 2 * NLZ - 1, 2)
     return _redc(wide, ctx)
 
 

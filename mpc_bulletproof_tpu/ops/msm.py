@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from . import curve_jax as cj
 from . import kernels
-from .limb import BASE_BITS, NL
+from .limb import BASE_BITS, NL, NLZ
 
 FIELD_BITS = 252
 
@@ -789,6 +789,99 @@ def _msm_split_impl(scalars: jnp.ndarray, points4: jnp.ndarray,
 
 
 msm_device_split = functools.partial(jax.jit, static_argnums=(2,))(_msm_split_impl)
+
+
+# ---------------------------------------------------------------------------
+# Split-table MSMs against a shared packed affine record table.
+#
+# The fused provers' MSMs all hit FIXED bases (the G/H generator chains and
+# the Pedersen base B; the IPP's Q = w*B rides B with scalar c_L*w).  A
+# per-gens cached table of the 2^64-shifted affine records lets every such
+# MSM run as 64-bit chunks: the serial Horner window-combine drops from
+# ~252+nw to ~nw_64*(c+1) ~ 72 grid steps, the digit-order point transport
+# rides the 16-word record gather (the measured fast path), and the MXU
+# permutation matrix (whose (n, n) footprint outgrows bandwidth past
+# ~12k lanes) is not needed at all — ranks come from one lax.sort.
+# ---------------------------------------------------------------------------
+
+
+def build_split_affine_table(points: jnp.ndarray) -> jnp.ndarray:
+    """``(3, NLZ, n)`` affine base points -> ``(4n, 16)`` packed records of
+    ``[P | 2^64 P | 2^128 P | 2^192 P]`` (jittable; cache per gens)."""
+    pts4 = split_points_device(points)          # 192 sequential doublings
+    aff = cj._to_affine_mont(pts4)              # one batched Fermat ladder
+    return _rows_affine_table(aff)
+
+
+def split_record_indices(base_idx: "np.ndarray", n_table: int) -> "np.ndarray":
+    """Static lane->record map for split MSMs: lane ``b*(k) + i`` (chunk-
+    block-major, matching :func:`split_scalars_device`) reads record
+    ``b*n_table + base_idx[i]``."""
+    import numpy as np
+
+    k = base_idx.shape[0]
+    blocks = np.arange(SPLIT_CHUNKS, dtype=np.int32)[:, None] * np.int32(n_table)
+    return (blocks + base_idx[None, :].astype(np.int32)).reshape(SPLIT_CHUNKS * k)
+
+
+def _msm_multi_table_impl(parts, table: jnp.ndarray, c: int,
+                          bits: int = SPLIT_CHUNK_BITS) -> jnp.ndarray:
+    """``k`` same-width MSMs against one packed affine record table ->
+    ``(3, NLZ, k)``.
+
+    ``parts``: list of ``(scalars, recs)`` — ``(NL, n)`` pre-split 64-bit
+    chunk scalars and the ``(n,)`` int32 record indices of their points.
+    All MSMs share one digit sort, one bucket phase (their windows ride the
+    window axis together) and ONE Horner combine with the k outputs on the
+    lane axis (reference hot spot: the per-round L/R MSM pair,
+    src/inner_product_proof.rs:90-114).
+    """
+    k = len(parts)
+    n = parts[0][0].shape[-1]
+    B = (1 << (c - 1)) + 1
+
+    digit_rows = [_signed_digits(s, c, bits) for s, _ in parts]
+    nw = digit_rows[0].shape[0]
+    digits = jnp.concatenate(digit_rows, axis=0)            # (k*nw, n)
+    keys = jnp.abs(digits)
+    sh = max(1, (n - 1).bit_length())
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], digits.shape)
+    payload = iota | ((digits < 0).astype(jnp.int32) << sh)
+    d_sorted, pay = jax.lax.sort((keys, payload), dimension=-1, num_keys=1)
+    order = pay & ((1 << sh) - 1)                           # (k*nw, n)
+    negs = pay >> sh
+
+    # lane -> table record, per originating MSM (static per-window select)
+    rec_stack = jnp.stack([r for _, r in parts], axis=0)    # (k, n)
+    which = jnp.repeat(jnp.arange(k, dtype=jnp.int32), nw)  # (k*nw,)
+    recs = jnp.take_along_axis(
+        jnp.take(rec_stack, which, axis=0), order, axis=-1
+    )                                                       # (k*nw, n)
+
+    W = k * nw
+    wg = _window_group(W, n)
+    grp = lambda a: a.reshape(W // wg, wg, n)
+
+    def group_body(_, inputs):
+        rec_g, d_g, neg_g = inputs
+        pts = _rows_affine_fetch(table, rec_g)              # (3, NLZ, wg, n)
+        pts = cj._point_select(
+            neg_g != 0, _point_op_flat(kernels.point_neg, pts), pts
+        )
+        targets = jnp.arange(0, B - 1, dtype=d_g.dtype)
+        pos = jax.vmap(
+            lambda d: jnp.searchsorted(d, targets, side="right") - 1
+        )(d_g)
+        return None, _windowed_bucket_sums(pts, pos, B)
+
+    _, wins = jax.lax.scan(
+        group_body, None, (grp(recs), grp(d_sorted), grp(negs))
+    )
+    wins = wins.reshape(W, 3, NLZ)                          # window-major
+    multi = jnp.stack(
+        [wins[i * nw : (i + 1) * nw] for i in range(k)], axis=-1
+    )                                                       # (nw, 3, NLZ, k)
+    return _horner_windows_multi(multi, c)
 
 
 # ---------------------------------------------------------------------------

@@ -536,6 +536,15 @@ struct WorkPool {
 
 static thread_local bool g_in_pool = false;
 
+// Mega-check thread scaling: one worker per this many MSM points.  At 4x
+// split expansion an m=1 rangeproof mega-check is ~550 points -> 1 thread
+// (latency-bound; pool fan-out only adds scheduling jitter), m=64 is ~33k
+// points -> all cores.  Calibrated on the 4-core AVX-512 bench box
+// (OPTIMIZATIONS.md round-4 "thresholds").
+#ifndef BP_MEGA_WORK_PER_THREAD
+#define BP_MEGA_WORK_PER_THREAD 512
+#endif
+
 // parallel_for: run fn(0..n-1) on the pool; serial when nested or tiny.
 static void parallel_for(size_t n, int max_threads,
                          const std::function<void(size_t)> &fn) {
@@ -1728,6 +1737,20 @@ void bp_mega_check(void *table,
         std::vector<u64> var_fe = fe52_table(var_pts);
         unsigned hw = std::thread::hardware_concurrency();
         int nthreads = (int)(hw ? hw : 1);
+        // Small mega-checks (m=1: ~550 points) are latency-bound: extra
+        // workers only add pool wake-up jitter on a shared box — the
+        // round-3 m=1 verify spread (950 us min vs 1,138 us median) was
+        // exactly this.  Cap threads by work size; BP_THREADS overrides.
+        const char *bp_threads = getenv("BP_THREADS");
+        if (bp_threads && *bp_threads) {
+            int v = atoi(bp_threads);
+            if (v > 0) nthreads = v;
+        } else {
+            size_t work = kf + k_var;
+            int cap = (int)(work / BP_MEGA_WORK_PER_THREAD);
+            if (cap < 1) cap = 1;
+            if (nthreads > cap) nthreads = cap;
+        }
         MixedJob jobs[2];
         jobs[0].s = sf; jobs[0].idx = idxf; jobs[0].pts = &t->pts;
         jobs[0].fe52 = t->fe52.data(); jobs[0].k = kf; jobs[0].bits = bits_f;

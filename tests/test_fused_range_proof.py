@@ -78,6 +78,37 @@ def test_fused_range_prover_matches_host(n, m):
     assert p_dev.to_bytes() == p_host.to_bytes()
     assert t_dev.state == t_host.state
 
+
+@pytest.mark.heavy_compile
+@pytest.mark.parametrize("n,m,ndev", [(8, 2, 2)])
+def test_fused_range_prover_sharded_matches_host(n, m, ndev):
+    """The SPMD (shard_map) fused prover produces byte-identical proofs:
+    per-round pair MSMs shard over mesh lanes with one all_gather each,
+    and the replicated transcript chain must stay in lockstep."""
+    from mpc_bulletproof_tpu.parallel import sharded
+
+    rng = random.Random(910)
+    bp_gens = BulletproofGens(n, m)
+    pc_gens = PedersenGens()
+    values = [rng.randrange(1 << n) for _ in range(m)]
+    blindings = [Scalar(rng.getrandbits(251)) for _ in range(m)]
+
+    t_host = HashChainTranscript(b"fused-rp-sh")
+    p_host, v_host = host_prove(
+        bp_gens, pc_gens, t_host, values, blindings, n, det_stream()
+    )
+
+    mesh = sharded.make_mesh(ndev)
+    t_dev = HashChainTranscript(b"fused-rp-sh")
+    p_dev, v_dev = prove_multiple_device(
+        bp_gens, pc_gens, t_dev, values, blindings, n,
+        rng_bytes=det_stream(), mesh=mesh,
+    )
+
+    assert [v.to_bytes() for v in v_dev] == [v.to_bytes() for v in v_host]
+    assert p_dev.to_bytes() == p_host.to_bytes()
+    assert t_dev.state == t_host.state
+
     # and the proof verifies through the standard verifier
     tv = HashChainTranscript(b"fused-rp")
     p_dev.verify_multiple(bp_gens, pc_gens, tv, v_dev, n)

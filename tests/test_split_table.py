@@ -144,3 +144,59 @@ def test_fabric_point_wire_rejects_off_curve():
     raw[4 + 5] ^= 1  # corrupt x
     with pytest.raises(ValueError):
         _unpack_points(bytes(raw))
+
+
+# ---------------------------------------------------------------------------
+# Device split tables (ops/msm.build_split_affine_table + _msm_multi_table_impl)
+# — the fused prover's round/commitment MSM path (64-bit chunks against a
+# packed affine record table of 2^64-shifted bases).
+# ---------------------------------------------------------------------------
+
+
+def _device_mods():
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_bulletproof_tpu.ops import curve_jax as cj
+    from mpc_bulletproof_tpu.ops import msm
+
+    return jax, jnp, cj, msm
+
+
+def test_device_split_table_records_match_host_shifts():
+    jax, jnp, cj, msm = _device_mods()
+    g = StarkPoint.generator()
+    pts = [g.scalar_mul(Scalar(i + 2)) for i in range(5)]
+    table = jax.jit(msm.build_split_affine_table)(
+        jnp.asarray(cj.points_from_host(pts))
+    )
+    back = cj.points_to_host(
+        msm._rows_affine_fetch(table, jnp.arange(4 * 5, dtype=jnp.int32))
+    )
+    for b in range(4):
+        shift = Scalar(pow(2, 64 * b))
+        for i, p in enumerate(pts):
+            assert back[b * 5 + i] == p.scalar_mul(shift)
+
+
+def test_device_multi_table_msm_matches_host():
+    jax, jnp, cj, msm = _device_mods()
+    g = StarkPoint.generator()
+    npts = 6
+    pts = [g.scalar_mul(Scalar(3 * i + 1)) for i in range(npts)]
+    table = jax.jit(msm.build_split_affine_table)(
+        jnp.asarray(cj.points_from_host(pts))
+    )
+    sclA = [Scalar(rng.getrandbits(251)) for _ in range(npts)]
+    sclB = [Scalar(rng.getrandbits(251)) for _ in range(npts)]
+    s4A = msm.split_scalars_device(jnp.asarray(cj.scalars_from_host(sclA)))
+    s4B = msm.split_scalars_device(jnp.asarray(cj.scalars_from_host(sclB)))
+    rec = jnp.asarray(
+        msm.split_record_indices(np.arange(npts, dtype=np.int32), npts)
+    )
+    c = msm.select_window(4 * npts, msm.SPLIT_CHUNK_BITS)
+    out = jax.jit(
+        lambda a, b, r, t: msm._msm_multi_table_impl([(a, r), (b, r)], t, c)
+    )(s4A, s4B, rec, table)
+    assert cj.points_to_host(out[..., 0:1])[0] == StarkPoint.msm(sclA, pts)
+    assert cj.points_to_host(out[..., 1:2])[0] == StarkPoint.msm(sclB, pts)
