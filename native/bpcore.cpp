@@ -537,12 +537,13 @@ struct WorkPool {
 static thread_local bool g_in_pool = false;
 
 // Mega-check thread scaling: one worker per this many MSM points.  At 4x
-// split expansion an m=1 rangeproof mega-check is ~550 points -> 1 thread
-// (latency-bound; pool fan-out only adds scheduling jitter), m=64 is ~33k
-// points -> all cores.  Calibrated on the 4-core AVX-512 bench box
-// (OPTIMIZATIONS.md round-4 "thresholds").
+// split expansion an m=1 rangeproof mega-check is ~550 points -> 2 threads
+// (measured on the 4-core AVX-512 bench box: 1 thread 1.43/1.57 ms
+// min/med, 2 threads 1.07/1.12, 4 threads 1.11/1.18 with p90 1.73 —
+// full fan-out only adds scheduling jitter at this size), m=64 is ~33k
+// points -> all cores.  OPTIMIZATIONS.md round-4 "thresholds".
 #ifndef BP_MEGA_WORK_PER_THREAD
-#define BP_MEGA_WORK_PER_THREAD 512
+#define BP_MEGA_WORK_PER_THREAD 256
 #endif
 
 // parallel_for: run fn(0..n-1) on the pool; serial when nested or tiny.
