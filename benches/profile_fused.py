@@ -88,6 +88,10 @@ t_conv = time.time() - t0
 
 G_dev, H_dev = fused_device._device_gens(bp, n_bits, m)
 B_dev, Bb_dev, fb_table = fused_device._device_pc(pc)
+t0 = time.time()
+split_table = fused_device._device_split_table(bp, pc, n_bits, m)
+jax.block_until_ready(split_table)
+print(f"split-table build (cached per gens): {time.time()-t0:.2f}s", flush=True)
 fn = fused_device._program(n_bits, m)
 
 tr = HashChainTranscript(b"prof2")
@@ -98,23 +102,23 @@ state32 = jnp.asarray(np.frombuffer(tr.state, np.uint8).astype(np.uint32))
 call = lambda: fn(
     state32, args_np["bits"], args_np["v"], args_np["gamma"], args_np["asum"],
     args_np["rsum"], args_np["sL"], args_np["sR"], args_np["t1b"], args_np["t2b"],
-    G_dev, H_dev, B_dev, Bb_dev, fb_table,
+    G_dev, H_dev, B_dev, Bb_dev, fb_table, split_table,
 )
 out = call()
 jax.block_until_ready(out)
-np.asarray(out[0])  # true sync
+np.asarray(out[:1])  # true sync
 
 times = []
 for _ in range(3):
     t0 = time.time()
     out = call()
     jax.block_until_ready(out)
-    np.asarray(out[0])
+    np.asarray(out[:1])
     times.append(time.time() - t0)
 t_exec = min(times)
 
 t0 = time.time()
-host_vals = [np.asarray(x) if not isinstance(x, tuple) else tuple(np.asarray(y) for y in x) for x in out]
+host_vals = np.asarray(out)  # single packed buffer: one fetch
 t_read = time.time() - t0
 
 print(f"phase draw-blinding : {t_draw*1e3:8.1f} ms", flush=True)

@@ -109,6 +109,7 @@ def test_fused_range_prover_sharded_matches_host(n, m, ndev):
     assert p_dev.to_bytes() == p_host.to_bytes()
     assert t_dev.state == t_host.state
 
-    # and the proof verifies through the standard verifier
-    tv = HashChainTranscript(b"fused-rp")
+    # and the proof verifies through the standard verifier (transcript
+    # label must match the proving transcript's)
+    tv = HashChainTranscript(b"fused-rp-sh")
     p_dev.verify_multiple(bp_gens, pc_gens, tv, v_dev, n)
