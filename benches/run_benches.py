@@ -364,22 +364,47 @@ def main():
     ap.add_argument("--max-shuffle", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--only",
+        help="comma-separated subset of {generators,ipp,r1cs,shuffle,"
+        "rangeproof,mpc}: rerun just those groups and merge into the "
+        "existing results.json (other groups' rows are kept)",
+    )
     args = ap.parse_args()
     if args.quick:
         args.max_ipp, args.max_r1cs, args.max_shuffle, args.reps = 8, 6, 5, 1
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
 
     print("| group | config | time |")
     print("|---|---|---|")
-    bench_generators(args.reps)
-    bench_ipp(args.max_ipp, args.reps)
-    bench_r1cs(args.max_r1cs, args.reps)
-    bench_shuffle(args.max_shuffle, args.reps)
-    bench_rangeproof(args.reps)
-    bench_mpc(args.reps)
+    if want("generators"):
+        bench_generators(args.reps)
+    if want("ipp"):
+        bench_ipp(args.max_ipp, args.reps)
+    if want("r1cs"):
+        bench_r1cs(args.max_r1cs, args.reps)
+    if want("shuffle"):
+        bench_shuffle(args.max_shuffle, args.reps)
+    if want("rangeproof"):
+        bench_rangeproof(args.reps)
+    if want("mpc"):
+        bench_mpc(args.reps)
 
     out = os.path.join(os.path.dirname(__file__), "results.json")
+    rows = RESULTS
+    if only is not None:
+        try:
+            with open(out) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = []
+        fresh = {(r["group"], r["config"]) for r in RESULTS}
+        rows = [r for r in prev if (r["group"], r["config"]) not in fresh] + RESULTS
     with open(out, "w") as fh:
-        json.dump(RESULTS, fh, indent=1)
+        json.dump(rows, fh, indent=1)
     print(f"\nwrote {out}", file=sys.stderr)
 
 

@@ -467,6 +467,12 @@ void bp_keccak256(const u8 *data, size_t len, u8 out[32]) {
 // per-party kernels would otherwise pay it dozens of times per proof) ----
 
 struct WorkPool {
+    // Serializes whole run() calls: two application threads (e.g. both MPC
+    // parties proving in one process) may issue pool MSMs concurrently;
+    // without this the second caller clobbers fn/total/next/done mid-batch
+    // — corrupted results (MAC-check failures) or a lost completion signal
+    // (both parties futex-parked forever).
+    std::mutex run_mu;
     std::mutex mu;
     std::condition_variable cv_work, cv_done;
     const std::function<void(size_t)> *fn = nullptr;
@@ -519,6 +525,7 @@ struct WorkPool {
     // Completion counts finished ITEMS, not woken workers: a straggler that
     // wakes after the work is gone neither blocks nor corrupts the batch.
     void run(size_t n_items, const std::function<void(size_t)> &f) {
+        std::lock_guard<std::mutex> run_lk(run_mu);
         {
             std::lock_guard<std::mutex> lk(mu);
             fn = &f;
