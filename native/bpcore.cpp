@@ -479,6 +479,12 @@ struct WorkPool {
     std::atomic<size_t> next{0};
     std::atomic<size_t> done{0};
     size_t total = 0;
+    // Workers currently between capturing fn (under mu) and finishing
+    // drain().  run() waits for this to hit zero in addition to
+    // done==total: a straggler that woke for batch N but was descheduled
+    // before claiming an item would otherwise outlive run(), then claim
+    // item 0 of batch N+1 through a dangling std::function pointer.
+    size_t active = 0;
     u64 epoch = 0;
     bool stop = false;
     std::vector<std::thread> ths;
@@ -518,12 +524,19 @@ struct WorkPool {
                 if (stop) return;
                 seen = epoch;
                 f = fn;
+                ++active;  // counted before mu is released: run() cannot
+                           // return while this worker may still touch state
             }
             drain(f);
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                if (--active == 0) cv_done.notify_all();
+            }
         }
     }
-    // Completion counts finished ITEMS, not woken workers: a straggler that
-    // wakes after the work is gone neither blocks nor corrupts the batch.
+    // Completion counts finished ITEMS plus quiesced WORKERS: run() returns
+    // only once every item ran AND no woken worker can still hold a pointer
+    // into this batch, so the next run() can safely reset fn/total/next.
     void run(size_t n_items, const std::function<void(size_t)> &f) {
         std::lock_guard<std::mutex> run_lk(run_mu);
         {
@@ -537,7 +550,7 @@ struct WorkPool {
         cv_work.notify_all();
         drain(&f);  // the caller works too
         std::unique_lock<std::mutex> lk(mu);
-        cv_done.wait(lk, [&] { return done.load() == total; });
+        cv_done.wait(lk, [&] { return done.load() == total && active == 0; });
     }
 };
 
