@@ -373,7 +373,15 @@ def main():
     args = ap.parse_args()
     if args.quick:
         args.max_ipp, args.max_r1cs, args.max_shuffle, args.reps = 8, 6, 5, 1
+    known_groups = {"generators", "ipp", "r1cs", "shuffle", "rangeproof", "mpc"}
     only = set(args.only.split(",")) if args.only else None
+    if only is not None:
+        unknown = only - known_groups
+        if unknown:
+            ap.error(
+                f"--only: unknown group(s) {sorted(unknown)}; "
+                f"choose from {sorted(known_groups)}"
+            )
 
     def want(name):
         return only is None or name in only
@@ -402,7 +410,19 @@ def main():
         except (OSError, json.JSONDecodeError):
             prev = []
         fresh = {(r["group"], r["config"]) for r in RESULTS}
-        rows = [r for r in prev if (r["group"], r["config"]) not in fresh] + RESULTS
+        # tolerate malformed pre-existing rows; keep a canonical group order
+        # so partial reruns don't scramble the file
+        kept = [
+            r for r in prev if (r.get("group"), r.get("config")) not in fresh
+        ]
+        order = {g: i for i, g in enumerate(
+            ["generators", "ipp", "r1cs", "shuffle", "rangeproof", "mpc"])}
+        merged = kept + RESULTS
+        rows = sorted(
+            range(len(merged)),
+            key=lambda i: (order.get(merged[i].get("group"), 99), i),
+        )
+        rows = [merged[i] for i in rows]
     with open(out, "w") as fh:
         json.dump(rows, fh, indent=1)
     print(f"\nwrote {out}", file=sys.stderr)
