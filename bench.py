@@ -113,7 +113,9 @@ for _ in range(reps):
     t0 = time.time()
     prove_multiple_device(bp, pc, t, values, blindings, n_bits)
     times.append(time.time() - t0)
-print("DEVICE_PROVE_US %.1f" % (min(times) / m * 1e6), flush=True)
+times.sort()
+print("DEVICE_PROVE_US %.1f" % (times[0] / m * 1e6), flush=True)
+print("DEVICE_PROVE_MED_US %.1f" % (times[len(times) // 2] / m * 1e6), flush=True)
 """
 
 _DEVICE_MSM_CODE = """
@@ -160,17 +162,17 @@ def _try_phase(kind: str, code: str, marker: str, timeout_s):
         err = "tunnel health probe failed"
         record_attempt(kind, False, err)
         log(f"{kind}: {err}")
-        return None, err
+        return None, err, ""
     ok, text = run_snippet(code, timeout_s, kind)
     val = extract(text, marker) if ok else None
     if val is not None:
         record_attempt(kind, True, val)
-        return val, None
+        return val, None, text
     tail = " | ".join(text.strip().splitlines()[-3:])
     err = tail[-400:] if tail else "no output"
     record_attempt(kind, False, err)
     log(f"{kind}: attempt failed: {err}")
-    return None, err
+    return None, err, text
 
 
 def measure_phases(phases: dict, backoffs, budget_s: float):
@@ -183,11 +185,11 @@ def measure_phases(phases: dict, backoffs, budget_s: float):
     Backoff only escalates across sweeps with zero progress, and resets when
     any phase lands.  Returns name -> (value, error_or_None).
     """
-    results = {name: (None, None) for name in phases}
+    results = {name: (None, None, "") for name in phases}
     t_start = time.time()
     stall = 0  # consecutive sweeps with no progress
     while True:
-        pending = [k for k, (v, _) in results.items() if v is None]
+        pending = [k for k, (v, _, _) in results.items() if v is None]
         if not pending:
             break
         if stall >= len(backoffs):
@@ -202,12 +204,83 @@ def measure_phases(phases: dict, backoffs, budget_s: float):
         progressed = False
         for name in pending:
             code, marker, timeout_s = phases[name]
-            val, err = _try_phase(name, code, marker, timeout_s)
-            results[name] = (val, err)
+            val, err, text = _try_phase(name, code, marker, timeout_s)
+            results[name] = (val, err, text)
             if val is not None:
                 progressed = True
         stall = 0 if progressed else stall + 1
     return results
+
+
+def _mpc_prove_ms(reps: int, latency_s: float = 0.0) -> float:
+    """Median wall-clock of a 2-party collaborative R1CS prove+open over the
+    in-process transport (the reference's integration/mpc_prover.rs config).
+
+    ``latency_s`` injects a one-way link delay per message, quantifying the
+    synchronous-round cost of the eager fabric on a real party link.
+    """
+    import random
+    import threading
+
+    from mpc_bulletproof_tpu import (
+        BulletproofGens, HashChainTranscript, PedersenGens, Scalar,
+    )
+    from mpc_bulletproof_tpu.models.r1cs.gadgets import example_gadget
+    from mpc_bulletproof_tpu.models.r1cs.linear_combination import (
+        LinearCombination, Variable,
+    )
+    from mpc_bulletproof_tpu.models.r1cs_mpc import MpcProver
+    from mpc_bulletproof_tpu.parallel.beaver import PartyIdBeaverSource
+    from mpc_bulletproof_tpu.parallel.fabric import MpcFabric
+    from mpc_bulletproof_tpu.parallel.network import make_local_pair
+
+    pc = PedersenGens()
+    gens = BulletproofGens(16, 1)
+    rng = random.Random(4242)
+    blind = [Scalar(rng.getrandbits(260)) for _ in range(5)]
+    c2 = LinearCombination({Variable.one(): Scalar(9)})
+
+    def one_round():
+        net0, net1 = make_local_pair(latency_s=latency_s)
+        fabrics = [MpcFabric(net0, PartyIdBeaverSource(0)),
+                   MpcFabric(net1, PartyIdBeaverSource(1))]
+        errors = [None, None]
+
+        def party(i):
+            try:
+                fabric = fabrics[i]
+                t = HashChainTranscript(b"bench-mpc")
+                prover = MpcProver(fabric, pc, t)
+                if fabric.party_id == 0:
+                    c0, v0 = prover.batch_commit(
+                        0, [Scalar(3), Scalar(6), Scalar(40)], blind[:3])
+                    c1, v1 = prover.batch_commit(1, None, None, count=2)
+                else:
+                    c0, v0 = prover.batch_commit(0, None, None, count=3)
+                    c1, v1 = prover.batch_commit(1, [Scalar(4), Scalar(1)], blind[3:])
+                example_gadget(prover, v0[0].to_lc(), v1[0].to_lc(), v0[1].to_lc(),
+                               v1[1].to_lc(), v0[2].to_lc(), c2)
+                prover.prove(gens).open()
+            except Exception as exc:  # noqa: BLE001 - surfaced below
+                errors[i] = exc
+
+        threads = [threading.Thread(target=party, args=(i,)) for i in (0, 1)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        for err in errors:
+            if err is not None:
+                raise err
+
+    one_round()  # warm (generator derivation etc.)
+    times = []
+    for _ in range(max(1, reps)):
+        t0 = time.time()
+        one_round()
+        times.append(time.time() - t0)
+    times.sort()
+    return times[len(times) // 2] * 1e3
 
 
 def main():
@@ -225,8 +298,9 @@ def main():
     # ---- device path FIRST (fused single-program prover) ----------------
     # Measured before the host path so a long host run + cooldown cannot
     # eat the wall-clock budget before the device evidence is captured.
-    device_prove_us = device_err = None
-    device_msm_mps = device_msm_err = None
+    t_bench_start = time.time()
+    device_prove_us = device_err = device_prove_med_us = None
+    device_msm_mps = device_msm_err = device_msm_med = None
     if not skip_device:
         dev_msm_n = int(os.environ.get("BENCH_DEV_MSM_N", str(1 << 20)))
         phases = {
@@ -242,12 +316,37 @@ def main():
             ),
         }
         out = measure_phases(phases, backoffs, budget_s)
-        device_prove_us, device_err = out["device-prove"]
-        device_msm_mps, device_msm_err = out["device-msm"]
+        device_prove_us, device_err, prove_text = out["device-prove"]
+        device_msm_mps, device_msm_err, _ = out["device-msm"]
+        device_prove_med_us = extract(prove_text, "DEVICE_PROVE_MED_US")
         if device_prove_us is not None:
             log(f"device prove: {device_prove_us:.0f} us/proof (m={m}, fused)")
         if device_msm_mps is not None:
             log(f"device msm n={dev_msm_n}: {device_msm_mps:.3f} Mpoints/s")
+        # Multi-window MSM policy (VERDICT r4 #3): the kernel has hit
+        # >=2 Mpoints/s in healthy tunnel windows; one captured window is
+        # luck, so take several attempts spaced across the run and report
+        # best + median.  Every attempt goes to the journal.
+        msm_samples = [] if device_msm_mps is None else [device_msm_mps]
+        extra = int(os.environ.get("BENCH_MSM_ATTEMPTS", "3")) - len(msm_samples)
+        for i in range(max(0, extra)):
+            if time.time() - t_bench_start > budget_s * 1.5:
+                break
+            if i or msm_samples:
+                time.sleep(float(os.environ.get("BENCH_MSM_SPACING_S", "60")))
+            val, err, _ = _try_phase(
+                "device-msm", phases["device-msm"][0], "DEVICE_MSM_MPS", 1500
+            )
+            if val is not None:
+                msm_samples.append(val)
+                log(f"device msm extra window: {val:.3f} Mpoints/s")
+        if msm_samples:
+            msm_samples.sort()
+            device_msm_mps = msm_samples[-1]  # best window
+            device_msm_med = msm_samples[len(msm_samples) // 2]
+            device_msm_err = None
+        else:
+            device_msm_med = None
 
     # ---- host path (native core) ----------------------------------------
     os.environ["BP_FORCE_BACKEND"] = "host"
@@ -295,7 +394,9 @@ def main():
             bp_gens, pc_gens, t, values, blindings, n_bits
         )
         prove_times.append(time.time() - t0)
+    prove_times.sort()
     host_prove_us = min(prove_times) / m * 1e6
+    host_prove_med_us = prove_times[len(prove_times) // 2] / m * 1e6
 
     verify_times = []
     for _ in range(reps):
@@ -303,10 +404,14 @@ def main():
         t0 = time.time()
         proof.verify_multiple(bp_gens, pc_gens, tv, comms, n_bits)
         verify_times.append(time.time() - t0)
+    verify_times.sort()
     per_verify_us = min(verify_times) / m * 1e6
+    per_verify_med_us = verify_times[len(verify_times) // 2] / m * 1e6
 
-    log(f"host  prove: {host_prove_us:.0f} us/proof (m={m})")
-    log(f"host  verify: {per_verify_us:.0f} us/proof")
+    log(f"host  prove: {host_prove_us:.0f} us/proof min, "
+        f"{host_prove_med_us:.0f} median (m={m}, {reps} reps)")
+    log(f"host  verify: {per_verify_us:.0f} us/proof min, "
+        f"{per_verify_med_us:.0f} median")
 
     # host MSM points/s (auxiliary context for the device number)
     host_msm_mps = None
@@ -326,25 +431,45 @@ def main():
     except Exception as exc:  # noqa: BLE001 - auxiliary only
         log(f"host msm aux benchmark skipped: {exc}")
 
+    # ---- 2-party MPC prove (collaborative path; VERDICT r4 #8) ----------
+    mpc_ms = mpc_rtt10_ms = None
+    try:
+        mpc_ms = _mpc_prove_ms(reps)
+        log(f"mpc 2-party r1cs prove+open: {mpc_ms:.1f} ms (in-process)")
+        mpc_rtt10_ms = _mpc_prove_ms(max(1, reps // 3), latency_s=0.005)
+        log(f"mpc 2-party r1cs prove+open: {mpc_rtt10_ms:.1f} ms (10 ms RTT injected)")
+    except Exception as exc:  # noqa: BLE001 - auxiliary metric
+        log(f"mpc bench skipped: {exc}")
+
     # ---- headline --------------------------------------------------------
-    best_us = host_prove_us
+    # Compared at the MEDIAN on both paths (mins drift with tunnel/CPU-credit
+    # luck; the official number must be reproducible, VERDICT r4 #5).
+    host_med = host_prove_med_us
+    dev_med = device_prove_med_us if device_prove_med_us is not None else device_prove_us
+    best_us = host_med
     path = "host"
-    if device_prove_us is not None and device_prove_us < host_prove_us:
-        best_us = device_prove_us
+    if dev_med is not None and dev_med < host_med:
+        best_us = dev_med
         path = "device"
     log(f"headline path: {path}")
     result = {
-        "metric": f"{n_bits}-bit rangeproof prove us/proof (aggregated m={m}, {path} path)",
+        "metric": f"{n_bits}-bit rangeproof prove us/proof (aggregated m={m}, {path} path, median)",
         "value": round(best_us, 1),
         "unit": "us",
         "vs_baseline": round(baseline_us / best_us, 4),
         "host_us": round(host_prove_us, 1),
+        "host_us_median": round(host_prove_med_us, 1),
         "host_verify_us": round(per_verify_us, 1),
+        "host_verify_us_median": round(per_verify_med_us, 1),
         "device_us": None if device_prove_us is None else round(device_prove_us, 1),
+        "device_us_median": None if dev_med is None else round(dev_med, 1),
         "device_error": device_err,
         "device_msm_mps_2e20": None if device_msm_mps is None else round(device_msm_mps, 3),
+        "device_msm_mps_2e20_median": None if device_msm_med is None else round(device_msm_med, 3),
         "device_msm_error": device_msm_err,
         "host_msm_mps": None if host_msm_mps is None else round(host_msm_mps, 3),
+        "mpc_prove_ms": None if mpc_ms is None else round(mpc_ms, 1),
+        "mpc_prove_ms_rtt10": None if mpc_rtt10_ms is None else round(mpc_rtt10_ms, 1),
     }
     try:
         with open(os.path.join(REPO, "benches", "last_bench.json"), "w") as f:

@@ -73,29 +73,42 @@ class TwoPartyNetwork:
 
 
 class LocalTwoPartyNet(TwoPartyNetwork):
-    """In-process transport; construct both ends via :func:`make_local_pair`."""
+    """In-process transport; construct both ends via :func:`make_local_pair`.
 
-    def __init__(self, party_id: int, inbox: "queue.Queue", outbox: "queue.Queue"):
+    ``latency_s`` injects a one-way link delay per message (a delivery
+    timestamp rides the queue; the receiver sleeps until it is due).  Used
+    to quantify what the eager fabric's synchronous rounds cost on a real
+    party-to-party link vs the reference's pipelined dataflow design
+    (reference: mpc-stark's QUIC net between remote relayers).
+    """
+
+    def __init__(self, party_id: int, inbox: "queue.Queue", outbox: "queue.Queue",
+                 latency_s: float = 0.0):
         self.party_id = party_id
         self._inbox = inbox
         self._outbox = outbox
+        self._latency_s = latency_s
 
     def send_bytes(self, payload: bytes) -> None:
-        self._outbox.put(payload)
+        self._outbox.put((time.monotonic() + self._latency_s, payload))
 
     def recv_bytes(self) -> bytes:
         try:
-            return self._inbox.get(timeout=60)
+            ready_at, payload = self._inbox.get(timeout=60)
         except queue.Empty as exc:
             raise NetworkError("timed out waiting for peer message") from exc
+        delay = ready_at - time.monotonic()
+        if delay > 0:
+            time.sleep(delay)
+        return payload
 
 
-def make_local_pair() -> tuple[LocalTwoPartyNet, LocalTwoPartyNet]:
+def make_local_pair(latency_s: float = 0.0) -> tuple[LocalTwoPartyNet, LocalTwoPartyNet]:
     q01: queue.Queue = queue.Queue()
     q10: queue.Queue = queue.Queue()
     return (
-        LocalTwoPartyNet(PARTY0, inbox=q10, outbox=q01),
-        LocalTwoPartyNet(PARTY1, inbox=q01, outbox=q10),
+        LocalTwoPartyNet(PARTY0, inbox=q10, outbox=q01, latency_s=latency_s),
+        LocalTwoPartyNet(PARTY1, inbox=q01, outbox=q10, latency_s=latency_s),
     )
 
 

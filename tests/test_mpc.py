@@ -611,3 +611,24 @@ def test_mpc_prover_device_data_plane(monkeypatch):
     v_var = verifier.commit(comm)
     rg(verifier, v_var.to_lc(), None, n_bits)
     verifier.verify(proof, bp_gens)
+
+
+def test_local_pair_latency_injection():
+    """make_local_pair(latency_s=...) delays delivery by the one-way latency
+    (the bench uses this to price synchronous MPC rounds on a real link)."""
+    import time as _time
+
+    net0, net1 = make_local_pair(latency_s=0.05)
+    t0 = _time.monotonic()
+    out = [None]
+
+    def peer():
+        out[0] = net1.exchange_bytes(b"from1")
+
+    th = threading.Thread(target=peer)
+    th.start()
+    got = net0.exchange_bytes(b"from0")
+    th.join(timeout=10)
+    dt = _time.monotonic() - t0
+    assert got == b"from1" and out[0] == b"from0"
+    assert dt >= 0.05, f"latency not injected (exchange took {dt * 1e3:.1f} ms)"
