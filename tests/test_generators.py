@@ -81,3 +81,154 @@ def test_commit_batch_matches_singles():
         assert got == StarkPoint.msm([v, b], [pc.B, pc.B_blinding])
     assert pc.commit_batch([], []) == []
     assert pc.commit(Scalar(0), Scalar(0)).is_identity()
+
+
+# ---------------------------------------------------------------------------
+# Independent hand derivations (docs/compat-assumptions.md, VERDICT r4 #7).
+# No library curve/transcript/generator code is used on the derivation side:
+# only the standard-vector-pinned keccak256 plus inline affine curve algebra
+# over the public STARK-curve constants.
+# ---------------------------------------------------------------------------
+
+# First four generators of each party-0 chain and the curve generator, in the
+# assumed ark-serialize-style compressed codec (32-byte LE x, bit7 of
+# byte[31] = "y > p - y", bit6 = infinity).  Frozen here as the independent
+# record of Assumption 1 + the generator chain; regenerate only if the
+# upstream format inference is ever revised against real reference vectors.
+_HAND_G0 = [
+    "25631173c84739607fa5b80c828c423f521c53e18766d32a7297fa782420a886",
+    "2b0bbf8af8e4e66b2b937da11d796054a1c6797a6e35fe82a28b440bce180586",
+    "f6e16d75806b3819bb9ce81c6708dd124c6cca54f2989695ff72d60176e39005",
+    "60123f898dfee27df62e2df2fd05b4d322d3fdf3ac0e8525a2a0b8d284594606",
+]
+_HAND_H0 = [
+    "fe2e698f8668e90923510c73aee62f87dc29d43afd6169c92befb1a27cd7d600",
+    "2afc04b85095847802c934321651c5c50fe5b89973ec85fc4266e52167a92080",
+    "30ecc4e06670c6f4a12c709520a65c55d41e85f304e41083eb24336f4fad1785",
+    "45f703195022c7f3936f7bf361cd3bb22f25db98e42dda156af1d3bf4f6f1e03",
+]
+_HAND_GEN = "cacf43c98b3d723de019180d9bfdacdec7f0405a41edec7b1b979985c115ef01"
+
+
+def _hand_curve_ops():
+    """Inline affine STARK-curve ops over Python ints (derivation side)."""
+    from mpc_bulletproof_tpu.constants import ALPHA, P
+
+    def inv(a):
+        return pow(a, P - 2, P)
+
+    def add(p, q):
+        if p is None:
+            return q
+        if q is None:
+            return p
+        (x1, y1), (x2, y2) = p, q
+        if x1 == x2:
+            if (y1 + y2) % P == 0:
+                return None
+            lam = (3 * x1 * x1 + ALPHA) * inv(2 * y1) % P
+        else:
+            lam = (y2 - y1) * inv(x2 - x1) % P
+        x3 = (lam * lam - x1 - x2) % P
+        return (x3, (lam * (x1 - x3) - y1) % P)
+
+    def smul(k, pt):
+        acc = None
+        while k:
+            if k & 1:
+                acc = add(acc, pt)
+            pt = add(pt, pt)
+            k >>= 1
+        return acc
+
+    return add, smul
+
+
+def _hand_compress(pt):
+    from mpc_bulletproof_tpu.constants import P
+
+    if pt is None:
+        return b"\x00" * 31 + b"\x40"
+    x, y = pt
+    b = bytearray(x.to_bytes(32, "little"))
+    if y > P - y:
+        b[31] |= 0x80
+    return bytes(b)
+
+
+def test_hand_derived_generator_chain_and_codec():
+    """First 4 G/H generators + the curve generator, derived from raw
+    keccak256 calls and inline curve math only, equal the library's points
+    byte-for-byte in the compressed codec (Assumption 1 + chain semantics:
+    reference src/generators.rs:76-129, :217-233; src/util.rs:252-267)."""
+    from mpc_bulletproof_tpu.constants import GEN_X, GEN_Y, R
+    from mpc_bulletproof_tpu.ops.keccak import keccak256
+
+    _, smul = _hand_curve_ops()
+
+    def pad32(label):
+        if not label:
+            return b""
+        return label + b"\x00" * ((-len(label)) % 32)
+
+    def hash_to_scalar_int(low):
+        return int.from_bytes(bytes(reversed(low + keccak256(low))), "big") % R
+
+    G = (GEN_X, GEN_Y)
+    assert _hand_compress(G).hex() == _HAND_GEN
+    derived = {}
+    for prefix, expect in ((b"G", _HAND_G0), (b"H", _HAND_H0)):
+        label = prefix + (0).to_bytes(4, "little")
+        state = keccak256(pad32(b"GeneratorsChain" + label))
+        out = []
+        for _ in range(4):
+            state = keccak256(state)
+            out.append(_hand_compress(smul(hash_to_scalar_int(state), G)))
+        assert [o.hex() for o in out] == expect
+        derived[prefix] = out
+
+    bp = BulletproofGens(4, 1)
+    assert [p.to_bytes() for p in bp.G_vec[0]] == derived[b"G"]
+    assert [p.to_bytes() for p in bp.H_vec[0]] == derived[b"H"]
+    assert StarkPoint.generator().to_bytes().hex() == _HAND_GEN
+
+
+def test_hand_derived_point_decompression():
+    """Decompress the pinned G_0 encoding with inline Tonelli-Shanks over
+    the curve equation (no library sqrt) and check the library's
+    from_bytes agrees on (x, y) — the riskiest inferred format
+    (Assumption 1, docs/compat-assumptions.md)."""
+    from mpc_bulletproof_tpu.constants import ALPHA, BETA, P
+
+    raw = bytearray(bytes.fromhex(_HAND_G0[0]))
+    neg = bool(raw[31] & 0x80)
+    raw[31] &= 0x3F
+    x = int.from_bytes(bytes(raw), "little")
+    rhs = (x * x * x + ALPHA * x + BETA) % P
+
+    # inline Tonelli-Shanks (P - 1 = q * 2^s)
+    q, s = P - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 3
+    while pow(z, (P - 1) // 2, P) != P - 1:
+        z += 1
+    m, c, t, r = s, pow(z, q, P), pow(rhs, q, P), pow(rhs, (q + 1) // 2, P)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % P
+            i += 1
+        b = pow(c, 1 << (m - i - 1), P)
+        m, c = i, b * b % P
+        t = t * c % P
+        r = r * b % P
+    y = r
+    assert y * y % P == rhs, "TS sqrt failed"
+    if (y > P - y) != neg:
+        y = P - y
+
+    pt = StarkPoint.from_bytes(bytes.fromhex(_HAND_G0[0]))
+    assert (pt.x, pt.y) == (x, y)
+    assert pt.to_bytes().hex() == _HAND_G0[0]
