@@ -39,7 +39,7 @@ static const Fp P_R2    = {{0xfffffd737e000401ULL, 0x1330fffffULL,
                             0xffffffffff6f8000ULL, 0x07ffd4ab5e008810ULL}};
 static const Fp FP_ONE  = {{0xffffffffffffffe1ULL, 0xffffffffffffffffULL,
                             0xffffffffffffffffULL, 0x07fffffffffffdf0ULL}};
-static const Fp FP_ZERO = {{0, 0, 0, 0}};
+static const Fp FP_ZEROV = {{0, 0, 0, 0}};
 // curve b (Montgomery form); a = 1 (Montgomery form == FP_ONE)
 static const Fp B_MONT  = {{0x359ddd67b59a21caULL, 0x6725f2237aab9006ULL,
                             0xab8a1e002a41f947ULL, 0x013931651774247fULL}};
@@ -257,7 +257,7 @@ static void pt_add_mixed(Pt &out, const Pt &p, const Fp &qx, const Fp &qy) {
 
 static inline void pt_neg(Pt &out, const Pt &p) {
     out = p;
-    if (!pt_is_ident(p)) fp_sub(out.Y, FP_ZERO, p.Y);
+    if (!pt_is_ident(p)) fp_sub(out.Y, FP_ZEROV, p.Y);
 }
 
 static void pt_from_affine(Pt &out, const u8 *x_le, const u8 *y_le, u8 inf) {
@@ -1328,6 +1328,218 @@ static void msm_run_ifma_jobs(MsmJob *jobs, int njobs,
         msm_combine(acc, windows, c, jobs[j].ox, jobs[j].oy, jobs[j].oi);
     });
 }
+
+// ---------------------------------------------------------------------------
+// Byte-shift-table MSM (the small-MSM fast path).
+//
+// With table entries 2^(8t) * P for t = 0..31, every byte of a canonical
+// 32-byte LE scalar is a base-256 digit against ONE shared bucket space:
+//   msm = sum_d d * B_d,  B_d = sum of table entries whose byte digit == d.
+// Versus the split/window path this trades NOTHING in bucket adds
+// (k * 32 = k * 256bits / 8) but replaces per-window-group suffix
+// reductions + the 64-doubling combine chain with a single weighted
+// reduction, vectorized over 8 bucket segments — the dominant fixed cost of
+// proof-scale MSMs (m=1 IPP rounds: k = 65).  Used when k is small; large
+// MSMs amortize reductions fine and keep the split path's larger-c bucket
+// phase.
+// ---------------------------------------------------------------------------
+
+// Bucket accumulation for points [i_begin, i_end) into a 256-slot bucket
+// array (slot d-1 for digit d; slot 255 stays identity).  Dual-issues two
+// 8-window groups of the same point; same-bucket collisions (equal byte
+// values anywhere in the pair) defer to the scalar path.
+static void msm_bytes_chunk_ifma(const u8 *scalars, const u32 *indices,
+                                 const std::vector<AffinePt> &pts_b,
+                                 const u64 *fe52b, size_t base_n,
+                                 size_t i_begin, size_t i_end, u64 *buckets) {
+    alignas(64) u64 dummy[16] = {0};
+    auto scalar_bucket_add = [&](u64 *slot, const AffinePt &ap) {
+        Pt p, r;
+        slot_to_pt(p, slot);
+        pt_add_mixed(r, p, ap.x, ap.y);
+        slot_from_pt(slot, r);
+    };
+    for (size_t i = i_begin; i < i_end; ++i) {
+        const u8 *sc = scalars + 32 * i;
+        size_t pi = indices ? indices[i] : i;
+        if (pts_b[pi].inf) continue;
+        for (int pair = 0; pair < 2; ++pair) {
+            __mmask8 act[2] = {0, 0};
+            u64 *bptr[2][8];
+            alignas(64) long long offs[2][8];
+            struct Defer { u64 *slot; u32 eid; };
+            Defer defers[16];
+            int ndefer = 0;
+            u64 seen[4] = {0, 0, 0, 0};
+            for (int u = 0; u < 2; ++u) {
+                int g = 2 * pair + u;
+                for (int L = 0; L < 8; ++L) {
+                    u8 d = sc[8 * g + L];
+                    u32 e = (u32)((size_t)(8 * g + L) * base_n + pi);
+                    offs[u][L] = (long long)e * 80;  // fe52 record: 10 u64
+                    if (!d) { bptr[u][L] = dummy; continue; }
+                    u64 *slot = buckets + ((size_t)d - 1) * 16;
+                    if (seen[d >> 6] & (1ull << (d & 63))) {
+                        defers[ndefer++] = {slot, e};
+                        bptr[u][L] = dummy;
+                    } else {
+                        seen[d >> 6] |= 1ull << (d & 63);
+                        act[u] |= (__mmask8)(1u << L);
+                        bptr[u][L] = slot;
+                    }
+                }
+            }
+            if (!(act[0] | act[1]) && !ndefer) continue;
+            Jac8 acc[2];
+            jac8_load(acc[0], bptr[0], act[0]);
+            jac8_load(acc[1], bptr[1], act[1]);
+            Fe8 qx[2], qy[2];
+            const __m512i zero = _mm512_setzero_si512();
+            for (int u = 0; u < 2; ++u) {
+                const __m512i off = _mm512_load_si512((const void *)offs[u]);
+                for (int l = 0; l < 5; ++l) {
+                    qx[u].l[l] = _mm512_mask_i64gather_epi64(
+                        zero, act[u], off,
+                        (const void *)((const u8 *)fe52b + 8 * l), 1);
+                    qy[u].l[l] = _mm512_mask_i64gather_epi64(
+                        zero, act[u], off,
+                        (const void *)((const u8 *)fe52b + 8 * (5 + l)), 1);
+                }
+            }
+            __mmask8 dblm[2];
+            pt8_add_mixed2(acc, qx, qy, act, dblm);
+            jac8_store(acc[0], bptr[0], act[0] & (__mmask8)~dblm[0]);
+            jac8_store(acc[1], bptr[1], act[1] & (__mmask8)~dblm[1]);
+            for (int u = 0; u < 2; ++u) {
+                __mmask8 m = dblm[u];
+                while (m) {
+                    int L = __builtin_ctz(m);
+                    m = (__mmask8)(m & (m - 1));
+                    int g = 2 * pair + u;
+                    scalar_bucket_add(bptr[u][L],
+                                      pts_b[(size_t)(8 * g + L) * base_n + pi]);
+                }
+            }
+            for (int d = 0; d < ndefer; ++d)
+                scalar_bucket_add(defers[d].slot, pts_b[defers[d].eid]);
+        }
+    }
+}
+
+// Weighted reduction: out = sum_{d=1..255} d * B_d over a 256-slot bucket
+// array, with 8 contiguous 32-bucket segments on the vector lanes:
+//   per segment L (digits 32L+1 .. 32L+32, s = d - 32L):
+//     W_L = sum_s s * B_(32L+s)   (suffix running trick, 2 adds per bucket)
+//     S_L = sum_s B_(32L+s)
+//   out = sum_L W_L + 32 * sum_L L * S_L
+static void msm_bytes_reduce(u64 *buckets, Pt &out) {
+    alignas(64) u64 dummy[16] = {0};
+    alignas(64) u64 run[8][16], wgt[8][16];
+    memset(run, 0, sizeof(run));
+    memset(wgt, 0, sizeof(wgt));
+    u64 *rp[8], *wp[8], *bp[8];
+    for (int L = 0; L < 8; ++L) { rp[L] = run[L]; wp[L] = wgt[L]; }
+    const __mmask8 lanes = 0xFF;
+    for (int s = 32; s >= 1; --s) {
+        for (int L = 0; L < 8; ++L) {
+            size_t d = (size_t)32 * L + s;  // 1..256; slot 255 stays identity
+            bp[L] = buckets + (d - 1) * 16;
+        }
+        Jac8 running, bucket8;
+        jac8_load(running, rp, lanes);
+        jac8_load(bucket8, bp, lanes);
+        __mmask8 dblm = pt8_add(running, bucket8, lanes);
+        jac8_store(running, rp, lanes & (__mmask8)~dblm);
+        while (dblm) {
+            int L = __builtin_ctz(dblm);
+            dblm = (__mmask8)(dblm & (dblm - 1));
+            Pt p, q, r;
+            slot_to_pt(p, rp[L]);
+            slot_to_pt(q, bp[L]);
+            pt_add(r, p, q);
+            slot_from_pt(rp[L], r);
+        }
+        Jac8 weighted;
+        jac8_load(weighted, wp, lanes);
+        jac8_load(running, rp, lanes);
+        dblm = pt8_add(weighted, running, lanes);
+        jac8_store(weighted, wp, lanes & (__mmask8)~dblm);
+        while (dblm) {
+            int L = __builtin_ctz(dblm);
+            dblm = (__mmask8)(dblm & (dblm - 1));
+            Pt p, q, r;
+            slot_to_pt(p, wp[L]);
+            slot_to_pt(q, rp[L]);
+            pt_add(r, p, q);
+            slot_from_pt(wp[L], r);
+        }
+    }
+    (void)dummy;
+    // tail: out = sum_L W_L + 32 * sum_L L * S_L
+    Pt total = PT_IDENT;
+    for (int L = 0; L < 8; ++L) {
+        Pt w, t;
+        slot_to_pt(w, wp[L]);
+        pt_add(t, total, w);
+        total = t;
+    }
+    Pt acc = PT_IDENT, acc2 = PT_IDENT;
+    for (int L = 7; L >= 1; --L) {
+        Pt s, t;
+        slot_to_pt(s, rp[L]);
+        pt_add(t, acc, s);
+        acc = t;
+        pt_add(t, acc2, acc);
+        acc2 = t;
+    }
+    for (int d = 0; d < 5; ++d) { Pt t; pt_dbl(t, acc2); acc2 = t; }
+    pt_add(out, total, acc2);
+}
+
+// Up to BYTES_K_MAX lanes: run njobs byte-table MSMs with point-chunk
+// parallelism; the weighted reduction is linear in bucket values, so each
+// (job, part) task reduces its own buckets and partials just add.
+static void msm_run_bytes_jobs(MsmJob *jobs, int njobs,
+                               const std::vector<AffinePt> &pts_b,
+                               const u64 *fe52b, size_t base_n, size_t k,
+                               int nthreads) {
+    int parts = nthreads / njobs;
+    if (parts < 1) parts = 1;
+    if (parts > 4) parts = 4;
+    while (parts > 1 && k / (size_t)parts < 16) --parts;
+    int tasks = njobs * parts;
+    std::vector<Pt> partials((size_t)tasks);
+    size_t chunk = (k + parts - 1) / parts;
+    parallel_for((size_t)tasks, nthreads < tasks ? nthreads : tasks,
+                 [&](size_t t) {
+        int j = (int)(t % njobs);
+        int p = (int)(t / njobs);
+        size_t b = (size_t)p * chunk;
+        size_t e = b + chunk > k ? k : b + chunk;
+        if (b >= e) { partials[t] = PT_IDENT; return; }
+        std::vector<u64> buckets((size_t)256 * 16, 0);
+        msm_bytes_chunk_ifma(jobs[j].s, jobs[j].idx, pts_b, fe52b, base_n,
+                             b, e, buckets.data());
+        msm_bytes_reduce(buckets.data(), partials[t]);
+    });
+    parallel_for((size_t)njobs, njobs, [&](size_t j) {
+        Pt acc = partials[j];
+        for (int p = 1; p < parts; ++p) {
+            Pt t;
+            pt_add(t, acc, partials[(size_t)p * njobs + j]);
+            acc = t;
+        }
+        pt_to_affine(jobs[j].ox, jobs[j].oy, jobs[j].oi, acc);
+    });
+}
+
+// Small-MSM routing threshold: byte-path bucket adds are k*32; the split
+// path's are k*4*ceil(64/c) with per-group reductions on top.  Measured
+// crossover on the 4-core IFMA box is well above proof scale; cap where
+// the work terms equalize (c ~ 8 at k4 ~ 4k lanes).
+#ifndef BP_BYTES_K_MAX
+#define BP_BYTES_K_MAX 1024
+#endif
 #endif  // BP_HAVE_IFMA
 
 
@@ -1642,6 +1854,45 @@ static void shift64_block(const AffinePt *in, AffinePt *out, size_t n) {
     pts_to_affine_fp(out, res.data(), n);
 }
 
+// out[i] = 2^8 * in[i] for a block of <= 8 points (byte-shift table build).
+static void shift8_block(const AffinePt *in, AffinePt *out, size_t n) {
+    std::vector<Pt> res(n);
+#ifdef BP_HAVE_IFMA
+    for (size_t g = 0; g < n; g += 8) {
+        int nl = (int)((n - g) < 8 ? (n - g) : 8);
+        alignas(64) u64 slots[8][16];
+        memset(slots, 0, sizeof(slots));
+        u64 *bp[8];
+        __mmask8 act = 0;
+        for (int L = 0; L < 8; ++L) bp[L] = slots[L];
+        for (int L = 0; L < nl; ++L) {
+            if (in[g + L].inf) continue;
+            Pt p;
+            p.X = in[g + L].x; p.Y = in[g + L].y; p.Z = FP_ONE;
+            slot_from_pt(slots[L], p);
+            act |= (__mmask8)(1u << L);
+        }
+        Jac8 acc;
+        jac8_load(acc, bp, act);
+        for (int d = 0; d < 8; ++d) jac8_dbl(acc);
+        jac8_store(acc, bp, act);
+        for (int L = 0; L < nl; ++L) {
+            if (in[g + L].inf) res[g + L] = PT_IDENT;
+            else slot_to_pt(res[g + L], slots[L]);
+        }
+    }
+#else
+    for (size_t i = 0; i < n; ++i) {
+        if (in[i].inf) { res[i] = PT_IDENT; continue; }
+        Pt p;
+        p.X = in[i].x; p.Y = in[i].y; p.Z = FP_ONE;
+        for (int d = 0; d < 8; ++d) { Pt t; pt_dbl(t, p); p = t; }
+        res[i] = p;
+    }
+#endif
+    pts_to_affine_fp(out, res.data(), n);
+}
+
 static std::vector<AffinePt> load_affine(const u8 *xs, const u8 *ys,
                                          const u8 *inf, size_t n) {
     std::vector<AffinePt> pts(n);
@@ -1666,8 +1917,15 @@ struct PointTable {
     std::vector<AffinePt> pts;   // split == 4: blocks [P | 2^64P | 2^128P | 2^192P]
     size_t base_n = 0;
     int split = 1;
+    // Byte-shift table (small-MSM fast path): blocks [2^(8t) P] for
+    // t = 0..31, so every byte of a canonical scalar is a digit against a
+    // SINGLE shared bucket space — one weighted reduction for the whole
+    // MSM instead of per-window suffix sums + a doubling combine chain.
+    bool has_bytes = false;
+    std::vector<AffinePt> pts_b;   // 32 * base_n entries, block-major t
 #ifdef BP_HAVE_IFMA
     std::vector<u64> fe52;
+    std::vector<u64> fe52_b;
 #endif
 };
 
@@ -1705,6 +1963,38 @@ void *bp_points_new_split(const u8 *xs, const u8 *ys, const u8 *inf, size_t n) {
 #ifdef BP_HAVE_IFMA
     t->fe52 = fe52_table(t->pts);
 #endif
+    // Byte-shift table for the small-MSM path.  Memory is 32 blocks of
+    // base_n AffinePt (+fe52): ~6 KB/point — gate by size so huge
+    // aggregated-generator tables (m = 64: 8k+ points, whose MSMs use the
+    // split path anyway) skip the build.
+    size_t byte_max = 2048;
+    if (const char *env = getenv("BP_BYTE_TABLE_MAX")) {
+        long v = atol(env);
+        if (v >= 0) byte_max = (size_t)v;
+    }
+    if (n <= byte_max) {
+        t->pts_b.resize(32 * n);
+        for (int j = 0; j < 4; ++j)
+            std::copy(t->pts.begin() + (size_t)j * n,
+                      t->pts.begin() + (size_t)(j + 1) * n,
+                      t->pts_b.begin() + (size_t)(8 * j) * n);
+        for (int j = 0; j < 4; ++j) {
+            for (int s = 1; s < 8; ++s) {
+                const AffinePt *src = t->pts_b.data() + (size_t)(8 * j + s - 1) * n;
+                AffinePt *dst = t->pts_b.data() + (size_t)(8 * j + s) * n;
+                size_t ngroups = (n + 7) / 8;
+                parallel_for(ngroups, (int)(hw ? hw : 1), [&](size_t g) {
+                    size_t b = 8 * g;
+                    size_t e = (b + 8 > n) ? n : b + 8;
+                    shift8_block(src + b, dst + b, e - b);
+                });
+            }
+        }
+#ifdef BP_HAVE_IFMA
+        t->fe52_b = fe52_table(t->pts_b);
+#endif
+        t->has_bytes = true;
+    }
     return t;
 }
 
@@ -1713,6 +2003,15 @@ void bp_points_free(void *table) { delete (PointTable *)table; }
 void bp_msm_indexed(void *table, const u8 *scalars, const u32 *indices, size_t k,
                     u8 *out_x, u8 *out_y, u8 *out_inf) {
     PointTable *t = (PointTable *)table;
+#ifdef BP_HAVE_IFMA
+    if (t->has_bytes && k <= BP_BYTES_K_MAX && k >= 2) {
+        unsigned hw = std::thread::hardware_concurrency();
+        MsmJob job{scalars, indices, out_x, out_y, out_inf};
+        msm_run_bytes_jobs(&job, 1, t->pts_b, t->fe52_b.data(), t->base_n, k,
+                           (int)(hw ? hw : 1));
+        return;
+    }
+#endif
     const u8 *s = scalars;
     const u32 *idx = indices;
     size_t kk = k;
@@ -2205,13 +2504,27 @@ extern "C" void bp_ipp_create_table(
         fr_to_bytes(sR_bytes.data() + 32 * n, cq);
         idxL[n] = idxR[n] = (u32)q_idx;
 
-        expand_split4(sL_bytes.data(), idxL.data(), n + 1, table->base_n, sL4, iL4);
-        expand_split4(sR_bytes.data(), idxR.data(), n + 1, table->base_n, sR4, iR4);
-
         u8 Lx[32], Ly[32], Li, Rx[32], Ry[32], Ri;
-        msm_run_pair(sL4.data(), iL4.data(), sR4.data(), iR4.data(),
-                     table->pts, 4 * (n + 1), Lx, Ly, &Li, Rx, Ry, &Ri,
-                     fe52p, 64);
+#ifdef BP_HAVE_IFMA
+        if (table->has_bytes && n + 1 <= BP_BYTES_K_MAX) {
+            // byte-table pair: shared bucket space per job, one weighted
+            // reduction each — no split expansion, no combine chain
+            unsigned hw = std::thread::hardware_concurrency();
+            MsmJob jobs[2] = {{sL_bytes.data(), idxL.data(), Lx, Ly, &Li},
+                              {sR_bytes.data(), idxR.data(), Rx, Ry, &Ri}};
+            msm_run_bytes_jobs(jobs, 2, table->pts_b, table->fe52_b.data(),
+                               table->base_n, n + 1, (int)(hw ? hw : 1));
+        } else
+#endif
+        {
+            expand_split4(sL_bytes.data(), idxL.data(), n + 1, table->base_n,
+                          sL4, iL4);
+            expand_split4(sR_bytes.data(), idxR.data(), n + 1, table->base_n,
+                          sR4, iR4);
+            msm_run_pair(sL4.data(), iL4.data(), sR4.data(), iR4.data(),
+                         table->pts, 4 * (n + 1), Lx, Ly, &Li, Rx, Ry, &Ri,
+                         fe52p, 64);
+        }
 
         memcpy(out_lr_x + 64 * round, Lx, 32); memcpy(out_lr_x + 64 * round + 32, Rx, 32);
         memcpy(out_lr_y + 64 * round, Ly, 32); memcpy(out_lr_y + 64 * round + 32, Ry, 32);
@@ -2317,7 +2630,7 @@ extern "C" void bp_rp_phase1(
                 Fp px, py;
                 fp_from_bytes(px, hx + 32 * i);
                 fp_from_bytes(py, hy + 32 * i);
-                fp_sub(py, FP_ZERO, py);   // -H_i
+                fp_sub(py, FP_ZEROV, py);   // -H_i
                 pt_add_mixed(t, acc, px, py);
             }
             acc = t;
@@ -2381,7 +2694,7 @@ extern "C" void bp_rp_phase1_table(
                 pt_add_mixed(t, acc, ap.x, ap.y);
             } else {
                 Fp ny;
-                fp_sub(ny, FP_ZERO, ap.y);
+                fp_sub(ny, FP_ZEROV, ap.y);
                 pt_add_mixed(t, acc, ap.x, ny);
             }
             acc = t;
@@ -2399,14 +2712,25 @@ extern "C" void bp_rp_phase1_table(
             idx[n + i] = (u32)(h_off + j * n + i);
         }
         idx[2 * n] = (u32)bb_idx;
-        std::vector<u8> s4;
-        std::vector<u32> i4;
-        expand_split4(sbytes.data(), idx.data(), k, table->base_n, s4, i4);
         u8 sx[32], sy[32], si;
-        // parties already span the pool; keep per-party MSMs single-threaded
-        // unless there is only one party
-        msm_run(s4.data(), i4.data(), table->pts, 4 * k, sx, sy, &si,
-                fe52p, m > 1 ? 1 : 0, 64);
+#ifdef BP_HAVE_IFMA
+        if (table->has_bytes && k <= BP_BYTES_K_MAX) {
+            unsigned hww = std::thread::hardware_concurrency();
+            MsmJob job{sbytes.data(), idx.data(), sx, sy, &si};
+            msm_run_bytes_jobs(&job, 1, table->pts_b, table->fe52_b.data(),
+                               table->base_n, k,
+                               m > 1 ? 1 : (int)(hww ? hww : 1));
+        } else
+#endif
+        {
+            std::vector<u8> s4;
+            std::vector<u32> i4;
+            expand_split4(sbytes.data(), idx.data(), k, table->base_n, s4, i4);
+            // parties already span the pool; keep per-party MSMs
+            // single-threaded unless there is only one party
+            msm_run(s4.data(), i4.data(), table->pts, 4 * k, sx, sy, &si,
+                    fe52p, m > 1 ? 1 : 0, 64);
+        }
         pt_from_affine(Ss[j], sx, sy, si);
     };
     unsigned hw = std::thread::hardware_concurrency();

@@ -200,3 +200,40 @@ def test_device_multi_table_msm_matches_host():
     )(s4A, s4B, rec, table)
     assert cj.points_to_host(out[..., 0:1])[0] == StarkPoint.msm(sclA, pts)
     assert cj.points_to_host(out[..., 1:2])[0] == StarkPoint.msm(sclB, pts)
+
+
+@needs_native
+def test_byte_table_conflict_heavy_scalars():
+    """Byte-path worst case: scalars with repeated byte digits force the
+    same-bucket deferral path in every vector step (native
+    msm_bytes_chunk_ifma); result must still match the host MSM."""
+    g = StarkPoint.generator()
+    k = 65
+    pts = [g.scalar_mul(Scalar(rng.getrandbits(64) + 1)) for _ in range(k)]
+    # every byte equal -> 32-way duplicate digits per point
+    sames = [Scalar(int.from_bytes(bytes([0x5A]) * 31 + b"\x05", "little"))
+             for _ in range(k)]
+    # tiny scalars -> all high bytes zero (inactive lanes)
+    tinies = [Scalar(i + 1) for i in range(k)]
+    for scalars in (sames, tinies):
+        want = StarkPoint.msm(scalars, pts)
+        table = native.PointTable(pts, split=True)
+        got = table.msm(scalars, np.arange(k, dtype=np.uint32))
+        assert got == want
+
+
+@needs_native
+def test_byte_table_gate_respects_env(monkeypatch):
+    """BP_BYTE_TABLE_MAX=0 disables the byte table; both routes agree."""
+    g = StarkPoint.generator()
+    k = 33
+    pts = [g.scalar_mul(Scalar(3 * i + 2)) for i in range(k)]
+    scalars = [Scalar(rng.getrandbits(252)) for _ in range(k)]
+    want = StarkPoint.msm(scalars, pts)
+    monkeypatch.setenv("BP_BYTE_TABLE_MAX", "0")
+    t_split = native.PointTable(pts, split=True)
+    monkeypatch.delenv("BP_BYTE_TABLE_MAX")
+    t_bytes = native.PointTable(pts, split=True)
+    idx = np.arange(k, dtype=np.uint32)
+    assert t_split.msm(scalars, idx) == want
+    assert t_bytes.msm(scalars, idx) == want
