@@ -1536,10 +1536,15 @@ static void msm_run_bytes_jobs(MsmJob *jobs, int njobs,
 // Small-MSM routing threshold: byte-path bucket adds are k*32; the split
 // path's are k*4*ceil(64/c) with per-group reductions on top.  Measured
 // crossover on the 4-core IFMA box is well above proof scale; cap where
-// the work terms equalize (c ~ 8 at k4 ~ 4k lanes).
-#ifndef BP_BYTES_K_MAX
-#define BP_BYTES_K_MAX 1024
-#endif
+// the work terms equalize (c ~ 8 at k4 ~ 4k lanes).  BP_BYTES_K_MAX env
+// overrides for experiments.
+static size_t bytes_k_max() {
+    static size_t v = [] {
+        const char *e = getenv("BP_BYTES_K_MAX");
+        return (e && *e) ? (size_t)atol(e) : (size_t)1024;
+    }();
+    return v;
+}
 #endif  // BP_HAVE_IFMA
 
 
@@ -2004,7 +2009,7 @@ void bp_msm_indexed(void *table, const u8 *scalars, const u32 *indices, size_t k
                     u8 *out_x, u8 *out_y, u8 *out_inf) {
     PointTable *t = (PointTable *)table;
 #ifdef BP_HAVE_IFMA
-    if (t->has_bytes && k <= BP_BYTES_K_MAX && k >= 2) {
+    if (t->has_bytes && k <= bytes_k_max() && k >= 2) {
         unsigned hw = std::thread::hardware_concurrency();
         MsmJob job{scalars, indices, out_x, out_y, out_inf};
         msm_run_bytes_jobs(&job, 1, t->pts_b, t->fe52_b.data(), t->base_n, k,
@@ -2506,7 +2511,7 @@ extern "C" void bp_ipp_create_table(
 
         u8 Lx[32], Ly[32], Li, Rx[32], Ry[32], Ri;
 #ifdef BP_HAVE_IFMA
-        if (table->has_bytes && n + 1 <= BP_BYTES_K_MAX) {
+        if (table->has_bytes && n + 1 <= bytes_k_max()) {
             // byte-table pair: shared bucket space per job, one weighted
             // reduction each — no split expansion, no combine chain
             unsigned hw = std::thread::hardware_concurrency();
@@ -2714,7 +2719,7 @@ extern "C" void bp_rp_phase1_table(
         idx[2 * n] = (u32)bb_idx;
         u8 sx[32], sy[32], si;
 #ifdef BP_HAVE_IFMA
-        if (table->has_bytes && k <= BP_BYTES_K_MAX) {
+        if (table->has_bytes && k <= bytes_k_max()) {
             unsigned hww = std::thread::hardware_concurrency();
             MsmJob job{sbytes.data(), idx.data(), sx, sy, &si};
             msm_run_bytes_jobs(&job, 1, table->pts_b, table->fe52_b.data(),
