@@ -315,7 +315,11 @@ def _reduce_batched(pts4: jnp.ndarray) -> jnp.ndarray:
     return pts4[..., 0]
 
 
-_SCAN_LANES = 5376  # max lanes per grid-scan step (v5e sweep: 5376 > 2688/10752)
+# Max lanes per grid-scan step.  The round-4 sweep (5376 > 2688/10752) mixed
+# granule-aligned and unaligned lane counts; env-tunable for on-chip sweeps.
+import os as _os
+
+_SCAN_LANES = int(_os.environ.get("BP_SCAN_LANES", "5376"))
 
 
 def _chunk_shape(W: int, n: int) -> tuple[int, int]:

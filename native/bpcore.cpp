@@ -1680,17 +1680,37 @@ struct MixedJob {
     size_t k;
     int bits;
     Pt result;  // Jacobian output
+    // byte-table mode: pts/fe52 point at the 32-block byte-shift table and
+    // each (part) task runs chunk-bucket + weighted-reduce into wsums[p]
+    bool bytes = false;
+    size_t base_n = 0;
     // derived
     int c = 0, parts = 0, windows = 0, ngroups = 0;
     std::vector<Pt> wsums;
     std::vector<u32> iota;
 };
 
+static void msm_bytes_chunk_ifma(const u8 *, const u32 *,
+                                 const std::vector<AffinePt> &, const u64 *,
+                                 size_t, size_t, size_t, u64 *);
+static void msm_bytes_reduce(u64 *, Pt &);
+
 static void msm_run_mixed(MixedJob *jobs, int njobs, int nthreads) {
     struct Task { int j, g, p; };
     std::vector<Task> tasks;
     for (int j = 0; j < njobs; ++j) {
         MixedJob &jb = jobs[j];
+        if (jb.bytes) {
+            jb.parts = nthreads / njobs;
+            if (jb.parts < 1) jb.parts = 1;
+            if (jb.parts > 4) jb.parts = 4;
+            while (jb.parts > 1 && jb.k / (size_t)jb.parts < 16) --jb.parts;
+            jb.windows = 1;
+            jb.ngroups = 1;
+            jb.wsums.assign((size_t)jb.parts, PT_IDENT);
+            for (int p = 0; p < jb.parts; ++p) tasks.push_back({j, 0, p});
+            continue;
+        }
         // njobs=1 to the picker: each job splits as if it owned the pool.
         // Jobs here are heterogeneous (a 4k-chunk split-table job next to a
         // 29-point variable job); modeling the shared pool would make the
@@ -1713,6 +1733,14 @@ static void msm_run_mixed(MixedJob *jobs, int njobs, int nthreads) {
         size_t chunk = (jb.k + jb.parts - 1) / jb.parts;
         size_t b = (size_t)tk.p * chunk;
         size_t e = b + chunk > jb.k ? jb.k : b + chunk;
+        if (jb.bytes) {
+            if (b >= e) { jb.wsums[tk.p] = PT_IDENT; return; }
+            std::vector<u64> buckets((size_t)256 * 16, 0);
+            msm_bytes_chunk_ifma(jb.s, jb.idx, *jb.pts, jb.fe52, jb.base_n,
+                                 b, e, buckets.data());
+            msm_bytes_reduce(buckets.data(), jb.wsums[tk.p]);
+            return;
+        }
         int w0 = tk.g * 8;
         int nl = jb.windows - w0 < 8 ? jb.windows - w0 : 8;
         Pt *out = jb.wsums.data() + (size_t)tk.p * jb.windows;
@@ -1726,6 +1754,16 @@ static void msm_run_mixed(MixedJob *jobs, int njobs, int nthreads) {
     parallel_for((size_t)njobs, njobs < nthreads ? njobs : nthreads,
                  [&](size_t j) {
         MixedJob &jb = jobs[j];
+        if (jb.bytes) {
+            Pt acc = jb.wsums[0];
+            for (int p = 1; p < jb.parts; ++p) {
+                Pt t;
+                pt_add(t, acc, jb.wsums[p]);
+                acc = t;
+            }
+            jb.result = acc;
+            return;
+        }
         Pt *acc = jb.wsums.data();
         for (int p = 1; p < jb.parts; ++p) {
             const Pt *part = acc + (size_t)p * jb.windows;
@@ -2052,7 +2090,11 @@ void bp_mega_check(void *table,
     int bits_f = 252;
     std::vector<u8> s4;
     std::vector<u32> i4;
-    if (t->split == 4) {
+    bool fixed_bytes = false;
+#ifdef BP_HAVE_IFMA
+    fixed_bytes = t->has_bytes && k_fixed <= bytes_k_max();
+#endif
+    if (t->split == 4 && !fixed_bytes) {
         expand_split4(s_fixed, idx_fixed, k_fixed, t->base_n, s4, i4);
         sf = s4.data(); idxf = i4.data(); kf = 4 * k_fixed; bits_f = 64;
     }
@@ -2071,14 +2113,24 @@ void bp_mega_check(void *table,
             int v = atoi(bp_threads);
             if (v > 0) nthreads = v;
         } else {
-            size_t work = kf + k_var;
+            // byte mode keeps kf at k_fixed; normalize to split-equivalent
+            // work units so the thread cap stays calibrated
+            size_t work = (fixed_bytes ? 4 * k_fixed : kf) + k_var;
             int cap = (int)(work / BP_MEGA_WORK_PER_THREAD);
             if (cap < 1) cap = 1;
             if (nthreads > cap) nthreads = cap;
         }
         MixedJob jobs[2];
-        jobs[0].s = sf; jobs[0].idx = idxf; jobs[0].pts = &t->pts;
-        jobs[0].fe52 = t->fe52.data(); jobs[0].k = kf; jobs[0].bits = bits_f;
+        if (fixed_bytes) {
+            // byte-table fixed part: raw 252-bit scalars, shared buckets,
+            // one weighted reduction per part — no split expansion
+            jobs[0].s = s_fixed; jobs[0].idx = idx_fixed; jobs[0].pts = &t->pts_b;
+            jobs[0].fe52 = t->fe52_b.data(); jobs[0].k = k_fixed;
+            jobs[0].bits = 252; jobs[0].bytes = true; jobs[0].base_n = t->base_n;
+        } else {
+            jobs[0].s = sf; jobs[0].idx = idxf; jobs[0].pts = &t->pts;
+            jobs[0].fe52 = t->fe52.data(); jobs[0].k = kf; jobs[0].bits = bits_f;
+        }
         jobs[1].s = s_var; jobs[1].idx = nullptr; jobs[1].pts = &var_pts;
         jobs[1].fe52 = var_fe.data(); jobs[1].k = k_var; jobs[1].bits = 252;
         msm_run_mixed(jobs, 2, nthreads);
@@ -2088,6 +2140,12 @@ void bp_mega_check(void *table,
         return;
     }
 #endif
+    if (fixed_bytes) {
+        // mixed branch not taken (tiny variable part): expand for the
+        // split path after all
+        expand_split4(s_fixed, idx_fixed, k_fixed, t->base_n, s4, i4);
+        sf = s4.data(); idxf = i4.data(); kf = 4 * k_fixed; bits_f = 64;
+    }
     u8 fx[32], fy[32], fi;
     msm_run(sf, idxf, t->pts, kf, fx, fy, &fi,
 #ifdef BP_HAVE_IFMA
