@@ -225,7 +225,9 @@ def point_scan_steps(x: jnp.ndarray) -> jnp.ndarray:
         in_specs=_curve_specs(S) + [spec],
         out_specs=spec,
         scratch_shapes=[pltpu.VMEM((3, NLZ, S, _LANE), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        # wide lane tiles need headroom: at L = 16384 the in/out/carry
+        # blocks + constants are ~30 MB double-buffered (v5e VMEM is 128)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*_curve_operands(S), x5)
     return out.reshape(3, T, NLZ, L)[..., :L0]

@@ -315,11 +315,14 @@ def _reduce_batched(pts4: jnp.ndarray) -> jnp.ndarray:
     return pts4[..., 0]
 
 
-# Max lanes per grid-scan step.  The round-4 sweep (5376 > 2688/10752) mixed
-# granule-aligned and unaligned lane counts; env-tunable for on-chip sweeps.
+# Max lanes per grid-scan step.  Round-5 sweep (granule-aligned widths,
+# chained in-program iterations): L=16384 sustains ~139 Madds/s per step vs
+# ~32 M at the round-4 width of 2560-5376 — per-step latency is nearly flat
+# in L, so wider tiles amortize it.  L=32768 exceeds the scan kernel's
+# VMEM budget.  Env-tunable for on-chip sweeps.
 import os as _os
 
-_SCAN_LANES = int(_os.environ.get("BP_SCAN_LANES", "5376"))
+_SCAN_LANES = int(_os.environ.get("BP_SCAN_LANES", "16384"))
 
 
 def _chunk_shape(W: int, n: int) -> tuple[int, int]:
@@ -329,6 +332,25 @@ def _chunk_shape(W: int, n: int) -> tuple[int, int]:
     while W * nt * 2 <= _SCAN_LANES and nt * 2 <= n:
         nt *= 2
     return nt, -(-n // nt)
+
+
+def _scan_lanes_hs(pts4: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix point-sum along the LAST axis of ``(3, NLZ, W, m)``:
+    Hillis-Steele over the lane axis — ``log2(m)`` full-width point-add
+    kernels instead of ``m`` sequential grid steps of ``W`` lanes.  Work is
+    m*log(m) adds, but every add runs at the wide-batch kernel throughput,
+    which beats the work-optimal sequential scan by >10x at chunk-offset
+    shapes (m up to 1024, W ~ 10)."""
+    m = pts4.shape[-1]
+    sh = 1
+    while sh < m:
+        ident = jnp.broadcast_to(
+            cj.identity((1, 1)), (*pts4.shape[:-1], sh)
+        )
+        shifted = jnp.concatenate([ident, pts4[..., :-sh]], axis=-1)
+        pts4 = _point_op_flat(kernels.point_add, pts4, shifted)
+        sh *= 2
+    return pts4
 
 
 def _windowed_bucket_sums(pts4: jnp.ndarray, pos: jnp.ndarray, B: int) -> jnp.ndarray:
@@ -367,21 +389,23 @@ def _windowed_bucket_sums(pts4: jnp.ndarray, pos: jnp.ndarray, B: int) -> jnp.nd
         x = jnp.transpose(x5, (0, 4, 1, 2, 3)).reshape(3, T, rows_nlz, W * nt)
         prefix = kernels.point_scan_steps(x)
         prefix5 = prefix.reshape(3, T, rows_nlz, W, nt)
-        # chunk totals -> exclusive per-window chunk offsets (second, tiny scan)
-        ct = prefix5[:, -1]  # (3, NLZ, W, nt)
-        off_in = kernels.point_scan_steps(jnp.transpose(ct, (0, 3, 1, 2)))
-        total = off_in[:, -1]  # (3, NLZ, W)
+        # chunk totals -> per-window chunk prefix via a LOG-DEPTH lane scan:
+        # a second grid scan here would be nt sequential steps of only W
+        # lanes each (~3-4 ms/round at nt = 256 in the round-4 profile);
+        # Hillis-Steele over the lane axis is log2(nt) full-width adds.
+        ct = prefix5[:, -1]  # (3, NLZ, W, nt) chunk totals
+        cum = _scan_lanes_hs(ct)  # inclusive prefix over nt
+        total = cum[..., -1]  # (3, NLZ, W)
         offex = jnp.concatenate(
-            [cj.identity((W,))[:, None], off_in[:, :-1]], axis=1
-        )  # (3, nt, NLZ, W) exclusive offsets
+            [cj.identity((W, 1)), cum[..., :-1]], axis=-1
+        )  # (3, NLZ, W, nt) exclusive offsets
         # gather the B-1 boundary prefixes and add their chunk offsets
         cpos = posc // T
         r = posc % T
         w_col = jnp.arange(W, dtype=pos.dtype)[:, None]
         within = prefix5[:, r, :, w_col, cpos]  # (W, B-1, 3, NLZ)
         within = jnp.transpose(within, (2, 3, 0, 1))  # (3, NLZ, W, B-1)
-        offsel = offex[:, cpos, :, w_col]  # (W, B-1, 3, NLZ)
-        offsel = jnp.transpose(offsel, (2, 3, 0, 1))
+        offsel = offex[:, :, w_col, cpos]  # (3, NLZ, W, B-1)
         cums = _point_op_flat(kernels.point_add, within, offsel)
 
     cums = cj._point_select(
