@@ -233,6 +233,36 @@ def point_scan_steps(x: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(3, T, NLZ, L)[..., :L0]
 
 
+@jax.jit
+def point_scan_steps_inner(x: jnp.ndarray) -> jnp.ndarray:
+    """:func:`point_scan_steps` over a ``(3, NLZ, T, L)`` layout (step axis
+    INSIDE), so record-gather-produced tensors scan directly — without this
+    the caller pays a materialized (3, T, NLZ, L) transpose (~2.7 ms per
+    fused-prover round at the m=64 shape, round-5 profile)."""
+    _, _, T, L0 = x.shape
+    if L0 % _GRAN:
+        L = (L0 + _GRAN - 1) // _GRAN * _GRAN
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, L - L0)])
+    else:
+        L = L0
+    S = L // _LANE
+    x5 = x.reshape(3, NLZ, T, S, _LANE)
+    spec = pl.BlockSpec(
+        (3, NLZ, 1, S, _LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _pscan_kernel,
+        out_shape=jax.ShapeDtypeStruct(x5.shape, jnp.int32),
+        grid=(T,),
+        in_specs=_curve_specs(S) + [spec],
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((3, NLZ, S, _LANE), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*_curve_operands(S), x5)
+    return out.reshape(3, NLZ, T, L)[..., :L0]
+
+
 # ---------------------------------------------------------------------------
 # grid-sequential Horner window combine — the MSM's serial tail
 # ---------------------------------------------------------------------------

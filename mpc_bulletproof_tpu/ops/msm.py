@@ -58,6 +58,16 @@ def select_window(n: int, bits: int = FIELD_BITS) -> int:
     boundary term is 2*2^(c-1) = 2^c: 2^(c-1) gathers for the suffix sums
     plus the same again in the reduction tree.)
     """
+    forced = _os.environ.get("BP_FORCE_C")
+    if forced:
+        return int(forced)
+    if bits == SPLIT_CHUNK_BITS:
+        # Table-path MSMs (round-5 on-chip sweep, pair at 16,388 lanes with
+        # the pre-laid wide scan): c=8 4.39 ms vs c=7 7.96 / c=9 8.38 /
+        # c=11 8.05 / c=6 10.0.  64/8 divides exactly (fewest scan steps at
+        # the lane cap) and B-1 = 127 keeps the boundary gather small —
+        # both neighbors lose on one of the two.
+        return 8
     # Cap c at 16: measured on v5e at n=2^20, c=16 beats c=14 by 1.07x
     # (1.77 vs 1.65 Mpoints/s); c=15 regresses (1.45) and c=17's 2^16-bucket
     # boundary phase eats the window savings.
@@ -375,39 +385,78 @@ def _windowed_bucket_sums(pts4: jnp.ndarray, pos: jnp.ndarray, B: int) -> jnp.nd
         cumsum = _scan_batched(pts4)  # (3, NLZ, W, n)
         total = cumsum[..., -1]  # (3, NLZ, W)
         cums = jnp.take_along_axis(cumsum, posc[None, None], axis=-1)
-    else:
-        nt, T = _chunk_shape(W, n)
-        n2 = nt * T
-        if n2 != n:
-            pts4 = jnp.concatenate(
-                [pts4, jnp.broadcast_to(cj.identity((1, 1)), (3, rows_nlz, W, n2 - n))],
-                axis=-1,
-            )
-        # sorted position p = chunk*T + step: contiguous chunks on lanes,
-        # steps on the sequential grid axis.
-        x5 = pts4.reshape(3, rows_nlz, W, nt, T)
-        x = jnp.transpose(x5, (0, 4, 1, 2, 3)).reshape(3, T, rows_nlz, W * nt)
-        prefix = kernels.point_scan_steps(x)
-        prefix5 = prefix.reshape(3, T, rows_nlz, W, nt)
-        # chunk totals -> per-window chunk prefix via a LOG-DEPTH lane scan:
-        # a second grid scan here would be nt sequential steps of only W
-        # lanes each (~3-4 ms/round at nt = 256 in the round-4 profile);
-        # Hillis-Steele over the lane axis is log2(nt) full-width adds.
-        ct = prefix5[:, -1]  # (3, NLZ, W, nt) chunk totals
-        cum = _scan_lanes_hs(ct)  # inclusive prefix over nt
-        total = cum[..., -1]  # (3, NLZ, W)
-        offex = jnp.concatenate(
-            [cj.identity((W, 1)), cum[..., :-1]], axis=-1
-        )  # (3, NLZ, W, nt) exclusive offsets
-        # gather the B-1 boundary prefixes and add their chunk offsets
-        cpos = posc // T
-        r = posc % T
-        w_col = jnp.arange(W, dtype=pos.dtype)[:, None]
-        within = prefix5[:, r, :, w_col, cpos]  # (W, B-1, 3, NLZ)
-        within = jnp.transpose(within, (2, 3, 0, 1))  # (3, NLZ, W, B-1)
-        offsel = offex[:, :, w_col, cpos]  # (3, NLZ, W, B-1)
-        cums = _point_op_flat(kernels.point_add, within, offsel)
+        return _bucket_sums_tail(cums, total, valid)
+    nt, T = _chunk_shape(W, n)
+    n2 = nt * T
+    if n2 != n:
+        pts4 = jnp.concatenate(
+            [pts4, jnp.broadcast_to(cj.identity((1, 1)), (3, rows_nlz, W, n2 - n))],
+            axis=-1,
+        )
+    # sorted position p = chunk*T + step: contiguous chunks on lanes,
+    # steps on the sequential grid axis.
+    x5 = pts4.reshape(3, rows_nlz, W, nt, T)
+    x = jnp.transpose(x5, (0, 1, 4, 2, 3)).reshape(3, rows_nlz, T, W * nt)
+    return _windowed_bucket_sums_prelaid(x, pos, B, W, nt, T)
 
+
+def _windowed_bucket_sums_prelaid(x: jnp.ndarray, pos: jnp.ndarray, B: int,
+                                  W: int, nt: int, T: int) -> jnp.ndarray:
+    """Bucket phase over a PRE-LAID ``(3, NLZ, T, W*nt)`` tensor (sorted
+    position ``p = chunk*T + step``; identity-padded to ``nt*T``): the grid
+    scan walks the step axis in place — callers that gather points from a
+    record table land them in this layout directly and skip the ~2.7 ms
+    materialized transpose of the point tensor (round-5 profile)."""
+    rows_nlz = x.shape[1]
+    valid = pos >= 0
+    posc = jnp.clip(pos, 0)
+    prefix = kernels.point_scan_steps_inner(x)  # (3, NLZ, T, W*nt)
+    prefix5 = prefix.reshape(3, rows_nlz, T, W, nt)
+    # chunk totals -> per-window chunk prefix via a LOG-DEPTH lane scan:
+    # a sequential grid scan here would be nt steps of only W lanes each
+    # (~3-4 ms/round at the m=64 shape, round-4 profile); Hillis-Steele
+    # over the lane axis is log2(nt) full-width adds.
+    ct = prefix5[:, :, -1]  # (3, NLZ, W, nt) chunk totals
+    cum = _scan_lanes_hs(ct)  # inclusive prefix over nt
+    total = cum[..., -1]  # (3, NLZ, W)
+    offex = jnp.concatenate(
+        [cj.identity((W, 1)), cum[..., :-1]], axis=-1
+    )  # (3, NLZ, W, nt) exclusive offsets
+    # gather the B-1 boundary prefixes and add their chunk offsets
+    cpos = posc // T
+    r = posc % T
+    w_col = jnp.arange(W, dtype=pos.dtype)[:, None]
+    within = prefix5[:, :, r, w_col, cpos]  # (3, NLZ, W, B-1)
+    offsel = offex[:, :, w_col, cpos]  # (3, NLZ, W, B-1)
+    cums = _point_op_flat(kernels.point_add, within, offsel)
+    return _bucket_sums_tail(cums, total, valid)
+
+
+def _bucket_sums_fetch_prelaid(fetch, ident_idx: int, rec_g, neg_g, pos,
+                               B: int, W: int, n: int):
+    """Gather-fed bucket phase in the scan layout (TPU path).
+
+    ``fetch(order) -> (3, NLZ, *order.shape)`` gathers table records;
+    ``ident_idx`` must reference an identity record (used to pad ``n`` up
+    to ``nt*T``).  The int32 index/sign arrays are transposed instead of
+    the 240x larger point tensor."""
+    nt, T = _chunk_shape(W, n)
+    n2 = nt * T
+    if n2 != n:
+        rec_g = jnp.pad(
+            rec_g, [(0, 0), (0, n2 - n)], constant_values=ident_idx
+        )
+        neg_g = jnp.pad(neg_g, [(0, 0), (0, n2 - n)])
+    rec_t = jnp.transpose(rec_g.reshape(W, nt, T), (2, 0, 1)).reshape(-1)
+    neg_t = jnp.transpose(neg_g.reshape(W, nt, T), (2, 0, 1)).reshape(-1)
+    pts = fetch(rec_t)  # (3, NLZ, T*W*nt)
+    pts = cj._point_select(neg_t != 0, cj._point_neg(pts), pts)
+    x = pts.reshape(3, pts.shape[1], T, W * nt)
+    return _windowed_bucket_sums_prelaid(x, pos, B, W, nt, T)
+
+
+def _bucket_sums_tail(cums, total, valid):
+    """Shared tail: mask empty boundaries, form suffix sums, reduce."""
     cums = cj._point_select(
         ~valid, jnp.broadcast_to(cj.identity((1, 1)), cums.shape), cums
     )
@@ -711,24 +760,39 @@ def _msm_device_impl(scalars: jnp.ndarray, points: jnp.ndarray, c: int | None = 
     # the dominant MSM cost on TPU; see the gather-cliff note above)
     nlz_rows = points.shape[1]
     if affine:
-        table = _rows_affine_table(points)
+        # trailing identity record pads the pre-laid fetch — it must be the
+        # REAL projective identity (0, 1_mont, 0); an all-zero row is not a
+        # valid point for the complete formulas
+        table = jnp.concatenate(
+            [_rows_affine_table(points), _rows_affine_table(cj.identity((1,)))],
+            axis=0,
+        )
         fetch = lambda og: _rows_affine_fetch(table, og)
     else:
-        tables = _rows_general_table(points)
+        ta, tb = _rows_general_table(points)
+        ia, ib = _rows_general_table(cj.identity((1,)))
+        tables = (
+            jnp.concatenate([ta, ia], axis=0),
+            jnp.concatenate([tb, ib], axis=0),
+        )
         fetch = lambda og: _rows_general_fetch(tables, og, nlz_rows)
 
     def group_body(_, inputs):
         order_g, d_g, neg_g = inputs  # (wg, n) each
-        pts = fetch(order_g)  # (3, NLZ, wg, n)
-        pts = cj._point_select(
-            neg_g != 0, _point_op_flat(kernels.point_neg, pts), pts
-        )
         # cum_{j-1} for j = 1..B-1: last prefix position with digit <= j-1
         targets = jnp.arange(0, B - 1, dtype=d_g.dtype)
         pos = jax.vmap(
             lambda d: jnp.searchsorted(d, targets, side="right") - 1
         )(d_g)
-        return None, _windowed_bucket_sums(pts, pos, B)  # (wg, 3, NLZ)
+        if _compile_friendly():
+            pts = fetch(order_g)  # (3, NLZ, wg, n)
+            pts = cj._point_select(
+                neg_g != 0, _point_op_flat(kernels.point_neg, pts), pts
+            )
+            return None, _windowed_bucket_sums(pts, pos, B)  # (wg, 3, NLZ)
+        return None, _bucket_sums_fetch_prelaid(
+            fetch, n, order_g, neg_g, pos, B, wg, n
+        )
 
     _, wins = jax.lax.scan(
         group_body, None, (grp(order), grp(d_sorted), grp(neg_sorted))
@@ -834,11 +898,14 @@ msm_device_split = functools.partial(jax.jit, static_argnums=(2,))(_msm_split_im
 
 
 def build_split_affine_table(points: jnp.ndarray) -> jnp.ndarray:
-    """``(3, NLZ, n)`` affine base points -> ``(4n, 16)`` packed records of
-    ``[P | 2^64 P | 2^128 P | 2^192 P]`` (jittable; cache per gens)."""
+    """``(3, NLZ, n)`` affine base points -> ``(4n + 1, 16)`` packed records
+    of ``[P | 2^64 P | 2^128 P | 2^192 P]`` plus a trailing IDENTITY record
+    (the pre-laid bucket fetch pads with it) — jittable; cache per gens."""
     pts4 = split_points_device(points)          # 192 sequential doublings
     aff = cj._to_affine_mont(pts4)              # one batched Fermat ladder
-    return _rows_affine_table(aff)
+    tab = _rows_affine_table(aff)
+    ident_row = _rows_affine_table(cj.identity((1,)))  # (0, 1_mont, z=0)
+    return jnp.concatenate([tab, ident_row], axis=0)
 
 
 def split_record_indices(base_idx: "np.ndarray", n_table: int) -> "np.ndarray":
@@ -892,15 +959,24 @@ def _msm_multi_table_impl(parts, table: jnp.ndarray, c: int,
 
     def group_body(_, inputs):
         rec_g, d_g, neg_g = inputs
-        pts = _rows_affine_fetch(table, rec_g)              # (3, NLZ, wg, n)
-        pts = cj._point_select(
-            neg_g != 0, _point_op_flat(kernels.point_neg, pts), pts
-        )
         targets = jnp.arange(0, B - 1, dtype=d_g.dtype)
         pos = jax.vmap(
             lambda d: jnp.searchsorted(d, targets, side="right") - 1
         )(d_g)
-        return None, _windowed_bucket_sums(pts, pos, B)
+        if _compile_friendly():
+            pts = _rows_affine_fetch(table, rec_g)          # (3, NLZ, wg, n)
+            pts = cj._point_select(
+                neg_g != 0, _point_op_flat(kernels.point_neg, pts), pts
+            )
+            return None, _windowed_bucket_sums(pts, pos, B)
+        # pre-laid fetch: transpose the (cheap, int32) INDEX arrays into the
+        # grid-scan layout and gather records straight into it — the point
+        # tensor never exists in (W, n) order, so no materialized transpose
+        return None, _bucket_sums_fetch_prelaid(
+            lambda o: _rows_affine_fetch(table, o),
+            int(table.shape[0]) - 1,  # identity record (builder appends it)
+            rec_g, neg_g, pos, B, wg, n,
+        )
 
     _, wins = jax.lax.scan(
         group_body, None, (grp(recs), grp(d_sorted), grp(negs))
