@@ -63,19 +63,23 @@ def select_window(n: int, bits: int = FIELD_BITS) -> int:
         return int(forced)
     if bits == SPLIT_CHUNK_BITS:
         # Table-path MSMs (round-5 on-chip sweep, pair at 16,388 lanes with
-        # the pre-laid wide scan): c=8 4.39 ms vs c=7 7.96 / c=9 8.38 /
-        # c=11 8.05 / c=6 10.0.  64/8 divides exactly (fewest scan steps at
-        # the lane cap) and B-1 = 127 keeps the boundary gather small —
-        # both neighbors lose on one of the two.
-        return 8
+        # the pre-laid wide scan): ceil(64/9) = 8 windows exactly fills the
+        # scan-lane cap (T=17; c=7's 10 windows double T, measured 7.96 ms
+        # vs c=9's 8.38 pre-boundary-fix) and the 1-bit top window stays
+        # within the signed bucket range (c=8 does NOT: 64%8==0 makes the
+        # top window full-width and overflows the buckets).
+        return 9
     # Cap c at 16: measured on v5e at n=2^20, c=16 beats c=14 by 1.07x
     # (1.77 vs 1.65 Mpoints/s); c=15 regresses (1.45) and c=17's 2^16-bucket
     # boundary phase eats the window savings.
     best_c, best_cost = 5, None
     for c in range(5, 17):
-        if bits % c > c - 2:
-            # top window must stay within the signed bucket range [0, 2^(c-1)]
-            # (bits % c == 0 or c-1 would let it reach ~2^c)
+        top_width = bits - (bits // c) * c if bits % c else c
+        if top_width > c - 2:
+            # top window must stay within the signed bucket range
+            # [0, 2^(c-1)]: its width is bits mod c — or a FULL c bits when
+            # c divides bits exactly, which overflows the buckets (2^c + 1
+            # with the final borrow; round-5 bug found at bits=64, c=8)
             continue
         windows = -(-bits // c)
         cost = windows * (n + (1 << c))
@@ -122,7 +126,8 @@ def _signed_digits(scalars: jnp.ndarray, c: int, bits: int = FIELD_BITS) -> jnp.
     carry chain is ``nw`` sequential vector steps.  The top window absorbs
     the final carry unsigned (bounded by 2^(bits - (nw-1)*c) + 1).
     """
-    if bits % c > c - 2:
+    top_width = bits - (bits // c) * c if bits % c else c
+    if top_width > c - 2:
         raise ValueError(f"window c={c}: top window would overflow signed buckets")
     raw = _digits(scalars, c, bits)
     half = 1 << (c - 1)

@@ -182,6 +182,9 @@ def test_msm_pallas_branch_interpret(monkeypatch):
     """
     import os
 
-    _run_pallas_branch(monkeypatch, 4, 2)
+    # c=5 is the smallest SOUND window (c=2 at 252 bits has a full-width
+    # top window that overflows the signed bucket range — the round-5
+    # guard fix rejects it; the old run passed on seed luck)
+    _run_pallas_branch(monkeypatch, 4, 5)
     if os.environ.get("BP_SLOW_TESTS"):
         _run_pallas_branch(monkeypatch, 24, 5)
