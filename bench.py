@@ -293,7 +293,7 @@ def main():
     # and resets when any phase lands (r3's schedule gave up on prove ~8
     # minutes before the tunnel recovered for msm — VERDICT r3 Missing #1).
     backoffs = [0, 60, 120, 300, 420]
-    budget_s = float(os.environ.get("BENCH_DEVICE_BUDGET_S", "1800"))
+    budget_s = float(os.environ.get("BENCH_DEVICE_BUDGET_S", "3000"))
 
     # ---- device path FIRST (fused single-program prover) ----------------
     # Measured before the host path so a long host run + cooldown cannot
@@ -307,7 +307,10 @@ def main():
             "device-prove": (
                 _DEVICE_PROVE_CODE.format(repo=REPO, n_bits=n_bits, m=m, reps=reps),
                 "DEVICE_PROVE_US",
-                1500,
+                # the axon backend recompiles the fused program every
+                # process (~20-40 min; the persistent cache never hits for
+                # remote-compiled programs) — the timeout must cover it
+                2400,
             ),
             "device-msm": (
                 _DEVICE_MSM_CODE.format(repo=REPO, n=dev_msm_n),
