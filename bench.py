@@ -381,10 +381,10 @@ def main():
     log("host warmup round trip ok")
 
     # This VM throttles sustained all-core AVX-512 load (credit-based:
-    # measured 4.1 ms/value right after an hour of 100% CPU vs 2.8 ms
+    # measured 4.1 ms/value right after an hour of 100% CPU vs 2.8 ms (round-5: 3.7 vs 2.0)
     # after 4 idle minutes).  Rest briefly so the measurement reflects the
     # engine, not the preceding workload.
-    cooldown = float(os.environ.get("BENCH_COOLDOWN_S", "120"))
+    cooldown = float(os.environ.get("BENCH_COOLDOWN_S", "300"))
     if cooldown > 0:
         log(f"cooldown {cooldown:.0f}s (CPU-credit recovery)")
         time.sleep(cooldown)
