@@ -25,6 +25,7 @@ bench: native
 
 bench-suite: native
 	python benches/run_benches.py
+	python benches/check_artifacts.py
 
 # Regenerate every derived benchmark artifact, then validate (fails on
 # impossible values: negative kernel times, >100% efficiency).  The chip
